@@ -1,0 +1,152 @@
+"""Device-mesh sharding of the renderer.
+
+The reference is single-process / single-GPU: its only notion of scale is
+the 2-D CUDA launch grid over pixels (RayTracingManager.cu:120-134). The
+TPU-native scaling axis (SURVEY.md section 5, BASELINE configs 4-5) is the
+same one, lifted across chips: shard the ray/tile dimension (image rows)
+over a 1-D mesh, replicate the tiny scene (<= a few hundred objects x
+32 B), and psum/pmean the scene-parameter gradients across chips during
+the backward pass. Collectives ride ICI within a slice and DCN across
+hosts; XLA overlaps the reduction with backward compute.
+
+Everything mesh-related lives in this one module so the rest of the
+framework stays mesh-agnostic (SURVEY.md section 5 design note).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rtwc_tpu.camera import Camera, camera_rays, projection_elements
+from rtwc_tpu.config import RenderConfig
+from rtwc_tpu.render.reference import Framebuffer, shade, trace_hard
+from rtwc_tpu.render.softmin import trace_soft
+from rtwc_tpu.scene import Scene
+
+TILE_AXIS = "tiles"
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = TILE_AXIS) -> Mesh:
+    """1-D mesh over all (or the first n) addressable devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _check_divisible(height: int, n: int) -> int:
+    if height % n:
+        raise ValueError(
+            f"height {height} must divide by mesh size {n} for tile sharding "
+            f"(pad the image or change the mesh)"
+        )
+    return height // n
+
+
+@functools.lru_cache(maxsize=32)
+def _make_render_sharded(config: RenderConfig, mesh: Mesh):
+    n = mesh.shape[TILE_AXIS]
+    rows_per = _check_divisible(config.height, n)
+    e1, e2 = projection_elements(config)
+
+    def band(scene: Scene, camera: Camera) -> Framebuffer:
+        tile = jax.lax.axis_index(TILE_AXIS)
+        row0 = tile * rows_per
+        origin, dirs = camera_rays(
+            camera, config.width, config.height, e1, e2, row_start=row0, n_rows=rows_per
+        )
+        t, normal, color, shading = trace_hard(scene, origin, dirs)
+        rgb = shade(scene, origin, dirs, t, normal, color, config)
+        return Framebuffer(rgb=rgb, normal=normal, depth=t, shading=shading, hit=t <= config.far)
+
+    fn = shard_map(
+        band,
+        mesh=mesh,
+        in_specs=(P(), P()),            # scene + camera replicated
+        out_specs=jax.tree.map(lambda _: P(TILE_AXIS), Framebuffer(0, 0, 0, 0, 0)),
+    )
+    return jax.jit(fn)
+
+
+def render_frame_sharded(
+    scene: Scene, camera: Camera, config: RenderConfig, mesh: Mesh
+) -> Framebuffer:
+    """Tile-sharded forward render: each device renders its band of image
+    rows against the replicated scene. Output framebuffer leaves are
+    sharded over rows; per-pixel values match the single-device render to
+    the last bits (validated in tests/test_dist.py). The jitted program is
+    cached per (config, mesh)."""
+    return _make_render_sharded(config, mesh)(scene, camera)
+
+
+def make_sharded_train_step(
+    config: RenderConfig,
+    mesh: Mesh,
+    tau: float,
+    optimizer=None,
+    loss_scale: float = 1.0 / 255.0,
+) -> Callable:
+    """Build the jitted multi-chip inverse-rendering train step
+    (BASELINE configs 4-5; the train_step analogue of Engine3D::Run).
+
+    Each device: renders its row band with the soft differentiable renderer,
+    computes the local MSE against its shard of the target image, and
+    back-propagates to the *replicated* scene + camera parameters; gradients
+    are pmean-reduced over the mesh inside the backward (XLA overlaps the
+    all-reduce with remaining backward compute). Returns
+    step(params, opt_state, target) -> (params, opt_state, loss).
+    params = (scene, camera).
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    n = mesh.shape[TILE_AXIS]
+    rows_per = _check_divisible(config.height, n)
+    e1, e2 = projection_elements(config)
+
+    def local_loss(params, target_band):
+        scene, camera = params
+        tile = jax.lax.axis_index(TILE_AXIS)
+        row0 = tile * rows_per
+        origin, dirs = camera_rays(
+            camera, config.width, config.height, e1, e2, row_start=row0, n_rows=rows_per
+        )
+        rgb, _, _, _ = trace_soft(scene, origin, dirs, config, tau=tau)
+        err = (rgb - target_band) * loss_scale
+        return jnp.mean(err * err)
+
+    def shard_step(params, target_band):
+        loss, grads = jax.value_and_grad(local_loss)(params, target_band)
+        # Replicated params -> gradients must be averaged across the mesh.
+        grads = jax.lax.pmean(grads, TILE_AXIS)
+        loss = jax.lax.pmean(loss, TILE_AXIS)
+        return loss, grads
+
+    sharded_grads = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, target):
+        loss, grads = sharded_grads(params, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(params):
+        return optimizer.init(params)
+
+    step.init = init
+    return step

@@ -1,0 +1,123 @@
+"""Simulated-mesh distributed tests (8 virtual CPU devices via conftest.py;
+SURVEY.md section 4 'multi-chip without a cluster')."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtwc_tpu.camera import default_camera
+from rtwc_tpu.config import RenderConfig
+from rtwc_tpu.dist import make_mesh, render_frame_sharded, make_sharded_train_step
+from rtwc_tpu.render import render_frame, render_frame_soft
+from rtwc_tpu.scene import default_scene
+
+CFG = RenderConfig(width=64, height=32, max_spheres=16, max_planes=4)
+
+
+def test_virtual_mesh_available():
+    assert jax.device_count() >= 8, "conftest must force 8 virtual CPU devices"
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_sharded_render_matches_single_device(n):
+    # Tile-sharded output must match the single-device render. Tolerance is
+    # last-bit only: shard_map compiles per-band programs whose fusion
+    # differs from the monolithic one, so exact bit equality is not
+    # guaranteed across XLA programs - but every pixel must round-trip
+    # through the 8-bit encoder identically (atol << 1/2 LSB of u8 color).
+    mesh = make_mesh(n)
+    scene, cam = default_scene(CFG), default_camera()
+    fb_single = render_frame(scene, cam, CFG)
+    fb_sharded = render_frame_sharded(scene, cam, CFG, mesh)
+    for name, atol in (("rgb", 1e-3), ("normal", 1e-5), ("depth", 1e-2), ("shading", 1e-5)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fb_single, name)),
+            np.asarray(getattr(fb_sharded, name)),
+            atol=atol, rtol=1e-5,
+            err_msg=f"{name} differs between single-device and {n}-way sharded render",
+        )
+
+
+def test_sharded_render_rejects_bad_height():
+    mesh = make_mesh(8)
+    cfg = CFG.replace(height=30)  # not divisible by 8
+    with pytest.raises(ValueError):
+        render_frame_sharded(default_scene(cfg), default_camera(), cfg, mesh)
+
+
+def test_sharded_train_step_decreases_loss():
+    import optax
+
+    mesh = make_mesh(8)
+    cfg = CFG
+    target_scene = default_scene(cfg)
+    cam = default_camera()
+    # Smooth optimization regime (moderate tau + penalty) - the sharp
+    # display config has sub-pixel silhouette bands with no usable grads.
+    # The target is rendered with the SAME soft model the train step uses,
+    # so the true scene is the exact global minimum (well-posed inverse
+    # problem; a tau-mismatched target has a flat noisy landscape instead).
+    tcfg = cfg.replace(soft_miss_penalty=300.0, soft_mask_k=10.0)
+    target = render_frame_soft(target_scene, cam, tcfg, tau=0.5).rgb
+
+    # Perturb sphere centers; the step must pull them back. Only the
+    # centers are trainable (optax.masked) - exactly the inverse-render
+    # setup of BASELINE config 3.
+    bad = target_scene.replace(
+        spheres=target_scene.spheres.replace(
+            center=target_scene.spheres.center + 0.5
+        )
+    )
+
+    def labels(params):
+        scene, camera = params
+        slab = jax.tree.map(lambda _: "freeze", scene)
+        clab = jax.tree.map(lambda _: "freeze", camera)
+        return (slab.replace(spheres=slab.spheres.replace(center="train")), clab)
+
+    # multi_transform, not optax.masked: masked() passes non-masked leaves'
+    # updates (raw grads) through unchanged, which would ascend everything.
+    opt = optax.multi_transform(
+        {"train": optax.adam(5e-2), "freeze": optax.set_to_zero()}, labels
+    )
+    step = make_sharded_train_step(tcfg, mesh, tau=0.5, optimizer=opt)
+    params = (bad, cam)
+    opt_state = step.init(params)
+
+    params, opt_state, loss0 = step(params, opt_state, target)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, target)
+        losses.append(float(loss))
+    assert min(losses[-5:]) < float(loss0), (float(loss0), losses)
+
+
+def test_sharded_grads_match_single_device():
+    import functools
+
+    mesh = make_mesh(4)
+    cfg = CFG
+    scene, cam = default_scene(cfg), default_camera()
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def single_loss(scene):
+        rgb = render_frame_soft(scene, cam, cfg, tau=0.05).rgb
+        return jnp.mean(((rgb - target) / 255.0) ** 2)
+
+    g_single = jax.grad(single_loss)(scene)
+
+    # Sharded gradient via the train-step internals: one step of SGD with
+    # lr so updates equal -grads, then diff params.
+    import optax
+
+    step = make_sharded_train_step(cfg, mesh, tau=0.05, optimizer=optax.sgd(1.0))
+    params = (scene, cam)
+    opt_state = step.init(params)
+    (new_scene, _), _, _ = step(params, opt_state, target)
+    g_sharded = jax.tree.map(lambda a, b: a - b, scene, new_scene)
+
+    np.testing.assert_allclose(
+        np.asarray(g_sharded.spheres.center),
+        np.asarray(g_single.spheres.center),
+        rtol=5e-2, atol=2e-6,  # f32, different XLA programs + pmean order
+    )

@@ -1,0 +1,57 @@
+"""End-to-end engine loop with a headless sink (no tty needed)."""
+import numpy as np
+
+from rtwc_tpu.config import EngineConfig, RenderConfig, RenderMode
+from rtwc_tpu.engine import Engine
+from rtwc_tpu.io import FramebufferSink
+
+
+def _engine(mode=RenderMode.RGB_PIXEL, spawn=False, **kw):
+    rcfg = RenderConfig(width=40, height=24, mode=mode, max_spheres=16, max_planes=4)
+    ecfg = EngineConfig(spawn=spawn, show_fps=False, seed=1)
+    sink = FramebufferSink(keep_all=True)
+    return Engine(rcfg, ecfg, presenter=sink, interactive=False, **kw), sink
+
+
+def test_engine_runs_frames_and_publishes():
+    engine, sink = _engine()
+    engine.run(max_frames=5)
+    assert len(sink.frames) == 5
+    assert all(f.count(b"\n") == 24 for f in sink.frames)
+
+
+def test_engine_animates_scene():
+    engine, sink = _engine()
+    c0 = np.asarray(engine.scene.spheres.center).copy()
+    engine.run(max_frames=8)
+    c1 = np.asarray(engine.scene.spheres.center)
+    active = np.asarray(engine.scene.spheres.active) > 0.5
+    # bobbing moved every active sphere's y
+    assert (c0[active, 1] != c1[active, 1]).all()
+    # x/z untouched
+    np.testing.assert_array_equal(c0[active][:, [0, 2]], c1[active][:, [0, 2]])
+
+
+def test_engine_spawn_grows_scene():
+    engine, sink = _engine(spawn=True)
+    engine.telemetry.interval = 0.0  # force the 1 Hz edge every frame
+    n0 = engine.scene.n_spheres
+    engine.run(max_frames=3)
+    assert engine.scene.n_spheres > n0
+
+
+def test_engine_stops_when_presenter_dies():
+    engine, sink = _engine()
+    engine.start()
+    assert engine.run_frame()
+    sink.cleanup()
+    assert not engine.run_frame()
+    engine.cleanup()
+
+
+def test_engine_all_modes():
+    for mode in (RenderMode.BIT_ASCII, RenderMode.BIT_PIXEL, RenderMode.RGB_ASCII,
+                 RenderMode.RGB_PIXEL, RenderMode.RGB_NORMALS):
+        engine, sink = _engine(mode=mode)
+        engine.run(max_frames=2)
+        assert sink.last, mode

@@ -1,0 +1,91 @@
+"""Forward renderer: golden properties of the jnp reference renderer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtwc_tpu.camera import default_camera, Camera
+from rtwc_tpu.config import RenderConfig
+from rtwc_tpu.render import render_frame, render_frame_soft
+from rtwc_tpu.render.reference import MISS_DISTANCE
+from rtwc_tpu.scene import default_scene, empty_scene, add_sphere
+
+CFG = RenderConfig(width=120, height=80)
+
+
+def test_render_shapes_and_ranges():
+    fb = render_frame(default_scene(), default_camera(), CFG)
+    assert fb.rgb.shape == (80, 120, 3)
+    assert fb.depth.shape == (80, 120)
+    rgb = np.asarray(fb.rgb)
+    assert rgb.min() >= 0.0 and rgb.max() <= 255.0
+    assert bool(fb.hit.any()), "default scene must be visible from the default pose"
+    assert not bool(fb.hit.all())
+
+
+def test_background_is_black_and_miss_depth():
+    fb = render_frame(default_scene(), default_camera(), CFG)
+    miss = ~np.asarray(fb.hit)
+    assert (np.asarray(fb.rgb)[miss] == 0).all()
+    # Rays that hit nothing carry the reference sentinel (RayTracing.h:21).
+    depth = np.asarray(fb.depth)
+    assert (depth[miss] >= 250.0).all()
+
+
+def test_single_sphere_depth_closed_form():
+    # Camera at origin looking +z (default pose); sphere straight ahead.
+    s = empty_scene(8, 2)
+    s = add_sphere(s, 7.0, (0.0, 0.0, 20.0), (255.0, 0.0, 0.0), speed=1.0)
+    fb = render_frame(s, default_camera(), CFG)
+    d = float(fb.depth[CFG.height // 2, CFG.width // 2])
+    np.testing.assert_allclose(d, 13.0, rtol=1e-5)
+    n = np.asarray(fb.normal[CFG.height // 2, CFG.width // 2])
+    np.testing.assert_allclose(n, [0.0, 0.0, -1.0], atol=1e-5)
+
+
+def test_closest_hit_wins():
+    s = empty_scene(8, 2)
+    s = add_sphere(s, 2.0, (0.0, 0.0, 30.0), (0.0, 255.0, 0.0), speed=1.0)  # far
+    s = add_sphere(s, 2.0, (0.0, 0.0, 10.0), (255.0, 0.0, 0.0), speed=1.0)  # near
+    fb = render_frame(s, default_camera(), CFG)
+    d = float(fb.depth[CFG.height // 2, CFG.width // 2])
+    np.testing.assert_allclose(d, 8.0, rtol=1e-5)
+
+
+def test_render_is_jittable():
+    f = jax.jit(render_frame, static_argnums=2)
+    fb = f(default_scene(), default_camera(), CFG)
+    assert bool(fb.hit.any())
+
+
+def test_shading_value_is_normal_x():
+    # ASCII shading drives off dot(normal, (1,0,0)) (RayTracing.cu:133).
+    fb = render_frame(default_scene(), default_camera(), CFG)
+    hit = np.asarray(fb.hit)
+    np.testing.assert_allclose(
+        np.asarray(fb.shading)[hit], np.asarray(fb.normal)[hit][:, 0], atol=1e-6
+    )
+
+
+def test_shadows_darken_only():
+    cfg_s = CFG.replace(shadows=True)
+    fb0 = render_frame(default_scene(), default_camera(), CFG)
+    fb1 = render_frame(default_scene(), default_camera(), cfg_s)
+    assert (np.asarray(fb1.rgb) <= np.asarray(fb0.rgb) + 1e-4).all()
+
+
+def test_soft_converges_to_hard():
+    # Small tau: soft forward approaches the hard reference image away from
+    # silhouettes. Compare medians to be robust to edge pixels.
+    scene, cam = default_scene(), default_camera()
+    hard = render_frame(scene, cam, CFG)
+    soft = render_frame_soft(scene, cam, CFG, tau=1e-3)
+    diff = np.abs(np.asarray(soft.rgb) - np.asarray(hard.rgb))
+    # 95% of pixels should agree closely.
+    assert np.quantile(diff, 0.95) < 2.0, float(np.quantile(diff, 0.95))
+
+
+def test_straight_through_forward_exact():
+    scene, cam = default_scene(), default_camera()
+    hard = render_frame(scene, cam, CFG)
+    st = render_frame_soft(scene, cam, CFG, tau=0.05, straight_through=True)
+    np.testing.assert_array_equal(np.asarray(st.rgb), np.asarray(hard.rgb))
