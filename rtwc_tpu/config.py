@@ -69,6 +69,10 @@ class RenderConfig:
     # The reference has no shadow term; off by default for parity.
     shadows: bool = False
 
+    # Forward renderer for the display path: "auto" picks the fused Pallas
+    # kernel on TPU and the jnp renderer elsewhere; "jnp" / "pallas" force.
+    renderer: str = "auto"
+
     # Static capacity for the padded struct-of-arrays scene. The reference
     # uses 5 MB device pools per type (Scene3D.h:6-7); on TPU dynamic growth
     # becomes pad-to-capacity + active mask (XLA static shapes).

@@ -91,6 +91,7 @@ def make_sharded_train_step(
     tau: float,
     optimizer=None,
     loss_scale: float = 1.0 / 255.0,
+    backend: str = "jnp",
 ) -> Callable:
     """Build the jitted multi-chip inverse-rendering train step
     (BASELINE configs 4-5; the train_step analogue of Engine3D::Run).
@@ -112,14 +113,35 @@ def make_sharded_train_step(
     rows_per = _check_divisible(config.height, n)
     e1, e2 = projection_elements(config)
 
+    if backend not in ("jnp", "pallas"):
+        raise ValueError(f"unknown train-step backend {backend!r}")
+
     def local_loss(params, target_band):
         scene, camera = params
         tile = jax.lax.axis_index(TILE_AXIS)
         row0 = tile * rows_per
-        origin, dirs = camera_rays(
-            camera, config.width, config.height, e1, e2, row_start=row0, n_rows=rows_per
-        )
-        rgb, _, _, _ = trace_soft(scene, origin, dirs, config, tau=tau)
+        if backend == "pallas":
+            # Fused fwd+bwd kernels (render/pallas_soft.py): each device
+            # renders its band from packed tables; the custom VJP returns
+            # table grads that chain through pack_scene/pack_camera here.
+            from rtwc_tpu.render import pack as _pack
+            from rtwc_tpu.render.pallas_soft import (
+                C_NPL, C_NSPH, SO_B, SO_R, soft_band_packed,
+            )
+
+            sph, pl_, counts = _pack.pack_scene(scene)
+            cam = _pack.pack_camera(camera)
+            cam = cam.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
+            cam = cam.at[0, C_NPL].set(counts[1].astype(jnp.float32))
+            out = soft_band_packed(sph, pl_, cam, row0, config=config,
+                                   tau=tau, band_h=rows_per)
+            rgb = jnp.moveaxis(out[SO_R: SO_B + 1], 0, -1)
+        else:
+            origin, dirs = camera_rays(
+                camera, config.width, config.height, e1, e2,
+                row_start=row0, n_rows=rows_per
+            )
+            rgb, _, _, _ = trace_soft(scene, origin, dirs, config, tau=tau)
         err = (rgb - target_band) * loss_scale
         return jnp.mean(err * err)
 

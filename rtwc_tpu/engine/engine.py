@@ -36,11 +36,24 @@ from rtwc_tpu.utils import Timer, Telemetry
 log = logging.getLogger("rtwc_tpu")
 
 
+def _pick_renderer(config: RenderConfig):
+    """Display-path forward renderer: the fused Pallas kernel on TPU
+    (render/pallas_kernel.py), the jnp reference renderer elsewhere
+    (they are allclose; tests/test_pallas.py)."""
+    if config.renderer == "pallas" or (
+        config.renderer == "auto" and jax.default_backend() == "tpu"
+    ):
+        from rtwc_tpu.render.pallas_kernel import render_frame_pallas
+
+        return render_frame_pallas
+    return render_frame
+
+
 @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
 def _render_step(scene: Scene, camera: Camera, dt, config: RenderConfig):
     """One fused device step: physics + render + mode head."""
     scene = update_scene(scene, dt, config.bob_min_y, config.bob_max_y)
-    fb = render_frame(scene, camera, config)
+    fb = _pick_renderer(config)(scene, camera, config)
     cells = framebuffer_to_cells(fb, config)
     return scene, cells
 

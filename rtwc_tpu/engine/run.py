@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov-divisor", type=float, default=1.5, help="fov = pi/divisor")
     p.add_argument("--far", type=float, default=250.0)
     p.add_argument("--shadows", action="store_true", help="hard shadows (new capability)")
+    p.add_argument("--renderer", choices=["auto", "jnp", "pallas"], default="auto",
+                   help="forward renderer: auto = pallas kernel on TPU, jnp elsewhere")
     p.add_argument("--max-spheres", type=int, default=256)
     p.add_argument("--no-spawn", action="store_true", help="disable the 1 Hz random sphere spawn")
     p.add_argument("--no-fps", action="store_true")
@@ -54,6 +56,7 @@ def main(argv=None) -> int:
         fov_divisor=args.fov_divisor,
         far=args.far,
         shadows=args.shadows,
+        renderer=args.renderer,
         max_spheres=args.max_spheres,
     )
     ecfg = EngineConfig(

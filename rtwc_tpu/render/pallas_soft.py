@@ -1,0 +1,520 @@
+"""Fused Pallas soft renderer: forward + custom-VJP backward kernels.
+
+This is the speed-of-light fwd+bwd path for the BASELINE headline metric
+(rays/sec/chip fwd+bwd). The jnp soft renderer (render/softmin.py) is the
+semantic source of truth but materializes [H, W, n_objects, 3] shading
+intermediates in HBM, making 1080p training HBM-bound (~90 ms/frame
+measured). Here the soft-min over objects is computed *online* inside the
+kernel (flash-attention-style running (max, sum, weighted accumulators)),
+so per-object quantities live only in VPU registers / VMEM and the HBM
+traffic is exactly the framebuffer planes.
+
+Backward design (custom_vjp):
+  - the forward kernel additionally writes its softmax statistics
+    (running max m, normalizer s) per ray: 10 output planes total;
+  - the backward kernel recomputes each object's soft intersection +
+    shading (cheap, register-resident) and applies the closed-form softmax
+    VJP:   dL/dlogit_k = w_k (g.v_k - sum_j w_j g.v_j),
+    chaining into per-object parameter gradients with jax.vjp *inside the
+    kernel body* (the per-object function is a few dozen traced jnp ops;
+    scalar-input cotangents come back pre-reduced over the ray tile by the
+    transpose rules);
+  - per-object gradients accumulate across grid tiles into small SMEM
+    tables (same [8, NS]/[12, NP] layout as render/pack.py), camera
+    gradients into a [1,16] vector through the in-kernel ray-generation
+    VJP; the TPU grid is sequential so read-modify-write accumulation
+    across tiles is race-free;
+  - object counts ride in spare slots of the camera vector as f32 so every
+    differentiable input of the custom_vjp is float (no int cotangents).
+
+Semantics match render/softmin.py::trace_soft (same penalty formulation,
+same Blinn-Phong constants, RayTracing.cu:41-79 parity) and are validated
+against it by tests/test_pallas_soft.py: forward allclose + gradients
+allclose vs jax.grad of the jnp path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtwc_tpu.camera import Camera
+from rtwc_tpu.config import RenderConfig
+from rtwc_tpu.render.reference import Framebuffer, _FLT_EPSILON
+from rtwc_tpu.render import pack as P
+from rtwc_tpu.render.pallas_kernel import _pow_int, _round_up
+
+# Output plane indices.
+SO_R, SO_G, SO_B, SO_DEPTH, SO_NX, SO_NY, SO_NZ, SO_ALPHA, SO_M, SO_S = range(10)
+# Camera-vector spare slots: live-object counts as f32, and the band's
+# first image row (tile-sharding: each device renders rows
+# [row0, row0 + band_height) of the full image, dist/mesh.py).
+C_NSPH, C_NPL, C_ROW0 = 12, 13, 14
+
+
+def _softplus(x):
+    # jax.nn.softplus = logaddexp(x, 0); spelled out for clean in-kernel vjp.
+    return jnp.logaddexp(x, 0.0)
+
+
+def _make_object_fns(config: RenderConfig, tau: float):
+    """Per-object soft intersection + shading closures, exact
+    render/softmin.py semantics. All inputs scalars except the ray
+    direction planes (dx, dy, dz); outputs are ray-tile planes
+    (t_eff, r, g, b, t_clip, nx, ny, nz)."""
+    far = config.far
+    k = config.soft_mask_k
+    mp = config.soft_miss_penalty
+    lx, ly, lz = config.light_pos
+    ldc = config.light_diffuse_color
+    lsc = config.light_specular_color
+    osc = config.object_specular_color
+    dpow = config.light_diffuse_power
+    spow = config.light_specular_power
+    hard = int(config.specular_hardness)
+    amb = config.ambient
+
+    def pen(x):
+        return _softplus(-k * x) / k
+
+    def shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz):
+        # Blinn-Phong (RayTracing.cu:41-79 constants), softmin.py path:
+        # view = -d (unit), light attenuates 1/d^2, ambient always on.
+        ldx, ldy, ldz = lx - px, ly - py, lz - pz
+        d2 = ldx * ldx + ldy * ldy + ldz * ldz
+        inv_d2 = 1.0 / d2
+        il = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+        ldx, ldy, ldz = ldx * il, ldy * il, ldz * il
+        inn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        nx, ny, nz = nx * inn, ny * inn, nz * inn
+        diffuse_i = jnp.clip(nx * ldx + ny * ldy + nz * ldz, 0.0, 1.0)
+        dterm = diffuse_i * dpow * inv_d2
+        hx, hy, hz = ldx - dx, ldy - dy, ldz - dz
+        ih = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+        spec_i = jnp.clip((nx * hx + ny * hy + nz * hz) * ih, 0.0, 1.0)
+        sterm = _pow_int(spec_i, hard) * spow * inv_d2
+
+        def channel(col, ld_c, ls_c, os_c):
+            cd = col * (1.0 / 255.0)
+            s = amb * cd + dterm * ld_c * cd + sterm * ls_c * os_c
+            return jnp.minimum(255.0, s * 255.0)
+
+        return (channel(cr, ldc[0], lsc[0], osc[0]),
+                channel(cg, ldc[1], lsc[1], osc[1]),
+                channel(cb, ldc[2], lsc[2], osc[2]))
+
+    def sphere_f(scx, scy, scz, r, cr, cg, cb, dx, dy, dz, ox, oy, oz):
+        ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
+        b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * c
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t1 = 0.5 * (-b + sq)
+        t2 = 0.5 * (-b - sq)
+        scale = 1.0 / jnp.maximum(r, 1e-3)
+        p_ = mp * (pen(disc * scale * scale) + pen(t1) + pen(t2))
+        t_clip = jnp.clip(t2, 0.0, far)
+        px = ox + dx * t_clip
+        py = oy + dy * t_clip
+        pz = oz + dz * t_clip
+        nxr, nyr, nzr = px - scx, py - scy, pz - scz
+        inn = jax.lax.rsqrt(jnp.maximum(nxr * nxr + nyr * nyr + nzr * nzr, 1e-20))
+        nx, ny, nz = nxr * inn, nyr * inn, nzr * inn
+        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz)
+        return t_clip + p_, r_, g_, b_, t_clip, nx, ny, nz
+
+    def plane_f(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, cr, cg, cb,
+                dx, dy, dz, ox, oy, oz):
+        denom = dx * pnx + dy * pny + dz * pnz
+        num = (pcx - ox) * pnx + (pcy - oy) * pny + (pcz - oz) * pnz
+        eps = jnp.float32(_FLT_EPSILON)
+        safe = jnp.where(jnp.abs(denom) < eps, -eps, denom)
+        t = num / safe
+        t_clip = jnp.clip(t, 0.0, far)
+        px = ox + dx * t_clip
+        py = oy + dy * t_clip
+        pz = oz + dz * t_clip
+        p_ = mp * (pen(-denom - eps) + pen(t)
+                   + pen(hw - jnp.abs(px - pcx))
+                   + pen(hh - jnp.abs(pz - pcz)))
+        nx = pnx + 0.0 * dx   # broadcast to plane shape for uniform vjp
+        ny = pny + 0.0 * dx
+        nz = pnz + 0.0 * dx
+        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz)
+        return t_clip + p_, r_, g_, b_, t_clip, nx, ny, nz
+
+    return sphere_f, plane_f
+
+
+def _make_raygen(config: RenderConfig, bh: int, bw: int):
+    """In-kernel ray generation as a function of the 12 camera scalars,
+    exact camera/camera.py::camera_rays semantics (RayTracing.cu:9-24)."""
+    from rtwc_tpu.camera import projection_elements
+
+    W, H = config.width, config.height
+    e1, e2 = projection_elements(config)
+
+    def raygen(i, j, row0, rx, ry, rz, ux, uy, uz, fx, fy, fz):
+        rowf = row0 + (i * bh).astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (bh, bw), 0).astype(jnp.float32)
+        colf = (j * bw).astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (bh, bw), 1).astype(jnp.float32)
+        vx = (2.0 * colf - W) / W * e1
+        vy = (H - 2.0 * rowf) / H * e2
+        dx = rx * vx + ry * vy + rz
+        dy = ux * vx + uy * vy + uz
+        dz = fx * vx + fy * vy + fz
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        return dx * inv, dy * inv, dz * inv
+
+    return raygen
+
+
+def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
+                   cam_ref, sph_ref, pl_ref, out_ref):
+    sphere_f, plane_f = _make_object_fns(config, tau)
+    raygen = _make_raygen(config, bh, bw)
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    ox, oy, oz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    cam9 = tuple(cam_ref[0, idx] for idx in range(3, 12))
+    row0 = cam_ref[0, C_ROW0]
+    dx, dy, dz = raygen(i, j, row0, *cam9)
+
+    inv_tau = jnp.float32(1.0 / tau)
+    bg_logit = jnp.float32(-config.far / tau)
+
+    # Online softmin state: m (running max logit), s (sum of exp), and
+    # exp-weighted accumulators. Background seeds the state.
+    m = jnp.full((bh, bw), bg_logit, jnp.float32)
+    s = jnp.ones((bh, bw), jnp.float32)
+    acc = (jnp.zeros((bh, bw), jnp.float32),) * 3 + (
+        jnp.full((bh, bw), jnp.float32(config.far)),) + (
+        jnp.zeros((bh, bw), jnp.float32),) * 3
+
+    def accumulate(state, values):
+        m, s, acc = state
+        t_eff, r_, g_, b_, t_clip, nx, ny, nz = values
+        logit = -t_eff * inv_tau
+        m_new = jnp.maximum(m, logit)
+        alpha_ = jnp.exp(m - m_new)
+        p = jnp.exp(logit - m_new)
+        s = s * alpha_ + p
+        v = (r_, g_, b_, t_clip, nx, ny, nz)
+        acc = tuple(a * alpha_ + p * vi for a, vi in zip(acc, v))
+        return m_new, s, acc
+
+    def sphere_body(k, state):
+        vals = sphere_f(
+            sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+            sph_ref[P.S_R, k],
+            sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
+            dx, dy, dz, ox, oy, oz)
+        return accumulate(state, vals)
+
+    def plane_body(k, state):
+        vals = plane_f(
+            pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+            pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+            pl_ref[P.P_HW, k], pl_ref[P.P_HH, k],
+            pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
+            dx, dy, dz, ox, oy, oz)
+        return accumulate(state, vals)
+
+    n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
+    n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
+    state = (m, s, acc)
+    state = jax.lax.fori_loop(0, n_sph, sphere_body, state)
+    m, s, acc = jax.lax.fori_loop(0, n_pl, plane_body, state)
+
+    inv_s = 1.0 / s
+    out_ref[SO_R] = acc[0] * inv_s
+    out_ref[SO_G] = acc[1] * inv_s
+    out_ref[SO_B] = acc[2] * inv_s
+    out_ref[SO_DEPTH] = acc[3] * inv_s
+    out_ref[SO_NX] = acc[4] * inv_s
+    out_ref[SO_NY] = acc[5] * inv_s
+    out_ref[SO_NZ] = acc[6] * inv_s
+    out_ref[SO_ALPHA] = 1.0 - jnp.exp(bg_logit - m) * inv_s
+    out_ref[SO_M] = m
+    out_ref[SO_S] = s
+
+
+def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
+                   cam_ref, sph_ref, pl_ref, sav_ref, g_ref,
+                   dsph_ref, dpl_ref, dcam_ref):
+    sphere_f, plane_f = _make_object_fns(config, tau)
+    raygen = _make_raygen(config, bh, bw)
+    i, j = pl.program_id(0), pl.program_id(1)
+    NS = sph_ref.shape[1]
+    NP = pl_ref.shape[1]
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _init():
+        # dsph/dpl live in VMEM (vector zero-init is fine there); dcam is
+        # SMEM, which only admits scalar stores - unrolled 16 of them.
+        dsph_ref[...] = jnp.zeros(dsph_ref.shape, dsph_ref.dtype)
+        dpl_ref[...] = jnp.zeros(dpl_ref.shape, dpl_ref.dtype)
+        for idx in range(P.CAM_LEN):
+            dcam_ref[0, idx] = 0.0
+
+    ox, oy, oz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    cam9 = tuple(cam_ref[0, idx] for idx in range(3, 12))
+    row0 = cam_ref[0, C_ROW0]
+    (dx, dy, dz), raygen_vjp = jax.vjp(
+        lambda *c: raygen(i, j, row0, *c), *cam9)
+
+    inv_tau = jnp.float32(1.0 / tau)
+    bg_logit = jnp.float32(-config.far / tau)
+    m = sav_ref[SO_M]
+    s = sav_ref[SO_S]
+    inv_s = 1.0 / s
+    out_rgb = (sav_ref[SO_R], sav_ref[SO_G], sav_ref[SO_B])
+    out_depth = sav_ref[SO_DEPTH]
+    out_norm = (sav_ref[SO_NX], sav_ref[SO_NY], sav_ref[SO_NZ])
+    g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
+    g_depth = g_ref[SO_DEPTH]
+    g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
+    g_alpha = g_ref[SO_ALPHA]
+
+    w_bg = jnp.exp(bg_logit - m) * inv_s
+    # S = sum_j w_j (g . v_j) over all competitors incl. background
+    # (closed-form via the saved outputs; see module docstring).
+    S = (g_rgb[0] * out_rgb[0] + g_rgb[1] * out_rgb[1] + g_rgb[2] * out_rgb[2]
+         + g_depth * out_depth
+         + g_norm[0] * out_norm[0] + g_norm[1] * out_norm[1]
+         + g_norm[2] * out_norm[2]
+         - g_alpha * w_bg)
+
+    def cotangents(vals):
+        """(dL/d t_eff, dL/d rgb, dL/d t_clip, dL/d n) for one object."""
+        t_eff, r_, g_, b_, t_clip, nx, ny, nz = vals
+        w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+        gdotv = (g_rgb[0] * r_ + g_rgb[1] * g_ + g_rgb[2] * b_
+                 + g_depth * t_clip
+                 + g_norm[0] * nx + g_norm[1] * ny + g_norm[2] * nz)
+        dlogit = w * (gdotv - S)
+        ct_teff = -dlogit * inv_tau
+        return (ct_teff, w * g_rgb[0], w * g_rgb[1], w * g_rgb[2],
+                w * g_depth, w * g_norm[0], w * g_norm[1], w * g_norm[2])
+
+    # Per-object scalar grads cannot be dynamically scattered on TPU
+    # (no vector stores to SMEM, no dynamic-index vector scatter); instead
+    # each is splatted into its table column with a one-hot lane mask and
+    # summed into loop-carried (1, N) vectors - 7 (11) masked FMAs per
+    # object on tiny vectors, negligible next to the ray-tile math.
+    sph_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NS), 1)
+    pl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+
+    def sphere_body(k, carry):
+        gdx, gdy, gdz, gox, goy, goz, dsph, dpl = carry
+        args = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+                sph_ref[P.S_R, k],
+                sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
+                dx, dy, dz, ox, oy, oz)
+        vals, fvjp = jax.vjp(sphere_f, *args)
+        grads = fvjp(cotangents(vals))
+        onehot = (sph_iota == k).astype(jnp.float32)
+        # grads[0..6] align with table rows S_CX..S_COLB (= 0..6);
+        # row 7 (S_ACTIVE) takes no gradient.
+        dsph = tuple(
+            (acc + onehot * grads[row]) if row < 7 else acc
+            for row, acc in enumerate(dsph)
+        )
+        return (gdx + grads[7], gdy + grads[8], gdz + grads[9],
+                gox + grads[10], goy + grads[11], goz + grads[12],
+                dsph, dpl)
+
+    def plane_body(k, carry):
+        gdx, gdy, gdz, gox, goy, goz, dsph, dpl = carry
+        args = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k],
+                pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
+                dx, dy, dz, ox, oy, oz)
+        vals, fvjp = jax.vjp(plane_f, *args)
+        grads = fvjp(cotangents(vals))
+        onehot = (pl_iota == k).astype(jnp.float32)
+        # grads[0..10] align with table rows P_CX..P_COLB (= 0..10);
+        # row 11 (P_ACTIVE) takes no gradient.
+        dpl = tuple(
+            (acc + onehot * grads[row]) if row < 11 else acc
+            for row, acc in enumerate(dpl)
+        )
+        return (gdx + grads[11], gdy + grads[12], gdz + grads[13],
+                gox + grads[14], goy + grads[15], goz + grads[16],
+                dsph, dpl)
+
+    n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
+    n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
+    zero = jnp.zeros((bh, bw), jnp.float32)
+    carry = (zero, zero, zero,
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+             tuple(jnp.zeros((1, NS), jnp.float32) for _ in range(P.SPH_ROWS)),
+             tuple(jnp.zeros((1, NP), jnp.float32) for _ in range(P.PL_ROWS)))
+    carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, n_pl, plane_body, carry)
+    gdx, gdy, gdz, gox, goy, goz, dsph_rows, dpl_rows = carry
+
+    dsph_ref[...] += jnp.concatenate(dsph_rows, axis=0)
+    dpl_ref[...] += jnp.concatenate(dpl_rows, axis=0)
+
+    cam_grads = raygen_vjp((gdx, gdy, gdz))
+    dcam_ref[0, 0] += gox
+    dcam_ref[0, 1] += goy
+    dcam_ref[0, 2] += goz
+    for idx, gval in enumerate(cam_grads):
+        dcam_ref[0, 3 + idx] += gval
+
+
+@functools.lru_cache(maxsize=32)
+def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
+                       interpret: bool, band_h: int | None = None):
+    """custom_vjp'd fn(sph [8,NS], pl [12,NP], cam [1,16]) -> [10,Hp,Wp].
+
+    band_h renders only that many image rows starting at the row carried in
+    cam[0, C_ROW0] (NDC math still uses the full config resolution) - the
+    tile-sharding hook used by dist/mesh.py."""
+    Hp = _round_up(band_h if band_h is not None else config.height, bh)
+    Wp = _round_up(config.width, bw)
+    grid = (Hp // bh, Wp // bw)
+
+    def fwd_call(sph, pl_, cam):
+        kernel = functools.partial(_soft_fwd_body, config, tau, bh, bw)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((10, bh, bw), lambda i, j: (0, i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((10, Hp, Wp), jnp.float32),
+            interpret=interpret,
+        )(cam, sph, pl_)
+
+    def bwd_call(sph, pl_, cam, sav, g):
+        kernel = functools.partial(_soft_bwd_body, config, tau, bh, bw)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((10, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((10, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                # grad tables in VMEM (vector read-modify-write per tile);
+                # camera grads in SMEM (scalar stores only).
+                pl.BlockSpec(sph.shape, lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(pl_.shape, lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P.CAM_LEN), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(sph.shape, jnp.float32),
+                jax.ShapeDtypeStruct(pl_.shape, jnp.float32),
+                jax.ShapeDtypeStruct((1, P.CAM_LEN), jnp.float32),
+            ],
+            interpret=interpret,
+        )(cam, sph, pl_, sav, g)
+
+    @jax.custom_vjp
+    def soft_packed(sph, pl_, cam):
+        return fwd_call(sph, pl_, cam)
+
+    def soft_fwd(sph, pl_, cam):
+        out = fwd_call(sph, pl_, cam)
+        return out, (sph, pl_, cam, out)
+
+    def soft_bwd(res, g):
+        sph, pl_, cam, sav = res
+        # Cotangents on the m/s statistic planes are discarded: the
+        # closed-form softmax VJP already accounts for the normalizer.
+        dsph, dpl, dcam = bwd_call(sph, pl_, cam, sav, g)
+        return dsph, dpl, dcam
+
+    soft_packed.defvjp(soft_fwd, soft_bwd)
+    return soft_packed, (Hp, Wp)
+
+
+def _pick_tiles(config: RenderConfig, bh: int | None, bw: int | None,
+                band_h: int | None = None):
+    bh = bh or 16
+    bw = bw or 512
+    bw = min(bw, _round_up(config.width, 128))
+    bh = min(bh, _round_up(band_h if band_h is not None else config.height, 8))
+    return bh, bw
+
+
+def soft_band_packed(sph, pl_, cam, row0, *, config: RenderConfig, tau: float,
+                     band_h: int, bh: int | None = None, bw: int | None = None,
+                     interpret: bool | None = None):
+    """Render a band of `band_h` image rows starting at traced row `row0`
+    on the fused fwd+bwd kernels, from pre-packed tables (pack.py layout;
+    cam must already carry the counts in C_NSPH/C_NPL). Returns the
+    [10, band_h, W] plane stack (SO_* indices). Used by the tile-sharded
+    train step (dist/mesh.py); differentiable in sph/pl_/cam."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bh, bw = _pick_tiles(config, bh, bw, band_h)
+    cam = cam.at[0, C_ROW0].set(jnp.asarray(row0, jnp.float32))
+    fn, _ = _build_soft_packed(config, float(tau), bh, bw, interpret, band_h)
+    return fn(sph, pl_, cam)[:, :band_h, : config.width]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "tau", "bh", "bw", "interpret"))
+def _render_soft_pallas_jit(scene, camera, *, config, tau, bh, bw, interpret):
+    sph, pl_, counts = P.pack_scene(scene)
+    cam = P.pack_camera(camera)
+    cam = cam.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
+    cam = cam.at[0, C_NPL].set(counts[1].astype(jnp.float32))
+    fn, (Hp, Wp) = _build_soft_packed(config, tau, bh, bw, interpret)
+    out = fn(sph, pl_, cam)[:, : config.height, : config.width]
+    rgb = jnp.moveaxis(out[SO_R: SO_B + 1], 0, -1)
+    normal = jnp.moveaxis(out[SO_NX: SO_NZ + 1], 0, -1)
+    depth = out[SO_DEPTH]
+    return Framebuffer(
+        rgb=rgb, normal=normal, depth=depth,
+        shading=normal[..., 0],
+        hit=depth <= config.far * (1.0 - 1e-4),
+    )
+
+
+def render_frame_soft_pallas(
+    scene,
+    camera: Camera,
+    config: RenderConfig,
+    tau: float | None = None,
+    bh: int | None = None,
+    bw: int | None = None,
+    interpret: bool | None = None,
+) -> Framebuffer:
+    """Differentiable frame render on the fused Pallas fwd+bwd kernels.
+
+    Drop-in for render_frame_soft (minus straight_through); gradients flow
+    to scene geometry/colors and camera pose through pack_scene/pack_camera.
+    """
+    tau = config.soft_tau if tau is None else tau
+    if tau <= 0.0:
+        raise ValueError("render_frame_soft_pallas needs tau > 0")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bh, bw = _pick_tiles(config, bh, bw)
+    return _render_soft_pallas_jit(
+        scene, camera, config=config, tau=float(tau), bh=bh, bw=bw,
+        interpret=interpret,
+    )

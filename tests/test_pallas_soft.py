@@ -1,0 +1,117 @@
+"""Fused Pallas soft renderer vs the jnp soft renderer (golden strategy,
+SURVEY.md section 4): forward allclose AND gradients allclose for every
+trainable parameter group (spheres, planes, colors, camera pose)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtwc_tpu.camera import Camera, default_camera
+from rtwc_tpu.config import RenderConfig
+from rtwc_tpu.render import render_frame_soft
+from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
+from rtwc_tpu.scene import add_plane, add_sphere, empty_scene
+
+CFG = RenderConfig(width=96, height=32, max_spheres=4, max_planes=2,
+                   soft_miss_penalty=300.0, soft_mask_k=10.0)
+TAU = 0.5
+
+
+def _scene():
+    s = empty_scene(CFG.max_spheres, CFG.max_planes)
+    s = add_sphere(s, 5.0, (0.0, 1.0, 20.0), (200.0, 40.0, 40.0), speed=1.0)
+    s = add_sphere(s, 3.0, (-4.0, -1.0, 28.0), (40.0, 200.0, 40.0), speed=1.0)
+    s = add_plane(s, (0.0, -3.0, 30.0), (0.0, 1.0, 0.0), (100.0, 100.0, 100.0), 60.0, 60.0)
+    return s
+
+
+def test_forward_matches_jnp_soft():
+    scene, cam = _scene(), default_camera()
+    fb_ref = render_frame_soft(scene, cam, CFG, tau=TAU)
+    fb_pal = render_frame_soft_pallas(scene, cam, CFG, tau=TAU)
+    np.testing.assert_allclose(np.asarray(fb_pal.rgb), np.asarray(fb_ref.rgb),
+                               atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fb_pal.depth), np.asarray(fb_ref.depth),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fb_pal.normal), np.asarray(fb_ref.normal),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_forward_nondefault_counts():
+    """Count-dependent loop: fewer live objects than capacity."""
+    s = empty_scene(8, 4)
+    s = add_sphere(s, 4.0, (2.0, 0.0, 15.0), (10.0, 220.0, 10.0), speed=1.0)
+    cam = default_camera()
+    fb_ref = render_frame_soft(s, cam, CFG.replace(max_spheres=8, max_planes=4), tau=TAU)
+    fb_pal = render_frame_soft_pallas(s, cam, CFG.replace(max_spheres=8, max_planes=4), tau=TAU)
+    # online vs batch softmax accumulate in different fp order; rgb is 0..255
+    np.testing.assert_allclose(np.asarray(fb_pal.rgb), np.asarray(fb_ref.rgb),
+                               atol=5e-2, rtol=1e-4)
+
+
+def _loss_pair():
+    """(jnp loss, pallas loss) over (scene, camera) params."""
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+
+    def mk(render):
+        def loss(scene, cam):
+            fb = render(scene, cam, CFG, tau=TAU)
+            return (jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+                    + 0.01 * jnp.mean(fb.depth) / CFG.far
+                    + 0.1 * jnp.mean(fb.normal ** 2))
+        return loss
+
+    return mk(render_frame_soft), mk(render_frame_soft_pallas)
+
+
+def _assert_close_tree(ga, gb, rtol=2e-2, atol=1e-6, what=""):
+    fa = jax.tree.leaves(ga)
+    fb = jax.tree.leaves(gb)
+    for a, b in zip(fa, fb):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.maximum(np.abs(a), np.abs(b))
+        bad = np.abs(a - b) > (atol + rtol * scale)
+        assert not bad.any(), f"{what}: grad mismatch\njnp={a[bad][:5]}\npal={b[bad][:5]}"
+
+
+def test_grads_match_jnp_scene():
+    scene, cam = _scene(), default_camera()
+    loss_j, loss_p = _loss_pair()
+    gj = jax.grad(loss_j, argnums=0)(scene, cam)
+    gp = jax.grad(loss_p, argnums=0)(scene, cam)
+    _assert_close_tree(gj.spheres.center, gp.spheres.center, what="sphere centers")
+    _assert_close_tree(gj.spheres.radius, gp.spheres.radius, what="sphere radii")
+    _assert_close_tree(gj.spheres.color, gp.spheres.color, what="sphere colors")
+    _assert_close_tree(gj.planes.normal, gp.planes.normal, what="plane normals")
+    _assert_close_tree(gj.planes.center, gp.planes.center, what="plane centers")
+    _assert_close_tree(gj.planes.width, gp.planes.width, what="plane widths")
+    _assert_close_tree(gj.planes.color, gp.planes.color, what="plane colors")
+
+
+def test_grads_match_jnp_camera():
+    scene = _scene()
+    cam = Camera(pos=jnp.asarray(default_camera().pos),
+                 rot=jnp.asarray(default_camera().rot))
+    loss_j, loss_p = _loss_pair()
+    gj = jax.grad(loss_j, argnums=1)(scene, cam)
+    gp = jax.grad(loss_p, argnums=1)(scene, cam)
+    _assert_close_tree(gj.pos, gp.pos, what="camera pos")
+    _assert_close_tree(gj.rot, gp.rot, what="camera rot")
+
+
+def test_grads_finite():
+    scene, cam = _scene(), default_camera()
+    _, loss_p = _loss_pair()
+    g = jax.grad(loss_p, argnums=0)(scene, cam)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_inactive_slots_zero_grad():
+    scene, cam = _scene(), default_camera()
+    _, loss_p = _loss_pair()
+    g = jax.grad(loss_p, argnums=0)(scene, cam)
+    live = np.asarray(scene.spheres.active) > 0.5
+    gc = np.asarray(g.spheres.center)
+    assert (gc[~live] == 0).all()
+    assert (np.abs(gc[live]).sum(axis=-1) > 0).all()
