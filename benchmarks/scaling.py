@@ -1,0 +1,109 @@
+"""Scaling-efficiency harness (BASELINE: >=90% rays/s efficiency from
+1 chip to N chips/hosts, tile-sharded).
+
+Measures the sharded train step's wall-clock per frame at mesh sizes
+1..N over the same *global* image, reporting rays/s and parallel
+efficiency. On a real TPU slice run it as:
+
+    python benchmarks/scaling.py --width 1920 --height 1080 --spheres 100
+
+On a development machine without multiple chips, --simulate 8 forces an
+8-virtual-device CPU mesh (correctness/topology only - CPU timings do not
+predict TPU efficiency; the real run needs the pod slice).
+
+Multi-host: launch one process per host with JAX_COORDINATOR_ADDRESS set;
+rtwc_tpu.dist.initialize_multihost() picks it up and the mesh spans all
+hosts' chips automatically.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--spheres", type=int, default=100)
+    p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="pallas")
+    p.add_argument("--simulate", type=int, default=0,
+                   help="force an N-virtual-device CPU mesh (topology testing)")
+    p.add_argument("--sizes", type=str, default="",
+                   help="comma-separated mesh sizes (default: 1,2,4,...,n_devices)")
+    args = p.parse_args(argv)
+
+    if args.simulate:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.simulate)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rtwc_tpu.camera import default_camera
+    from rtwc_tpu.config import RenderConfig
+    from rtwc_tpu.dist import make_mesh, make_sharded_train_step, initialize_multihost
+    from rtwc_tpu.scene import random_scene
+
+    initialize_multihost()
+    n_dev = jax.device_count()
+    sizes = ([int(s) for s in args.sizes.split(",") if s]
+             or [n for n in (1, 2, 4, 8, 16, 32, 64, 128, 256) if n <= n_dev])
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_spheres=args.spheres, max_planes=4,
+                       soft_miss_penalty=300.0, soft_mask_k=10.0)
+    scene = random_scene(args.spheres, max_spheres=args.spheres, max_planes=4, seed=0)
+    cam = default_camera()
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    rays = cfg.width * cfg.height
+
+    def sync(x):
+        return float(jnp.ravel(jax.tree.leaves(x)[0])[0])
+
+    results = []
+    base = None
+    for n in sizes:
+        if cfg.height % n:
+            print(f"# skip n={n}: height {cfg.height} not divisible", file=sys.stderr)
+            continue
+        mesh = make_mesh(n)
+        step = make_sharded_train_step(cfg, mesh, tau=args.tau,
+                                       optimizer=optax.adam(1e-2),
+                                       backend=args.backend)
+        params = (scene, cam)
+        opt_state = step.init(params)
+        params, opt_state, loss = step(params, opt_state, target)
+        sync(loss)  # compile + warm
+        params, opt_state, loss = step(params, opt_state, target)
+        sync(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            params, opt_state, loss = step(params, opt_state, target)
+        sync(loss)
+        dt = (time.perf_counter() - t0) / args.iters
+        rps = rays / dt
+        if base is None:
+            base = rps
+        eff = rps / (base * n)
+        results.append({"mesh": n, "ms_per_step": round(dt * 1e3, 3),
+                        "rays_per_s": round(rps, 1), "efficiency": round(eff, 4)})
+        print(f"mesh={n:3d}  {dt*1e3:8.2f} ms/step  {rps/1e6:8.1f} Mrays/s  "
+              f"eff={eff*100:5.1f}%", file=sys.stderr)
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

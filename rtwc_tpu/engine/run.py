@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-spheres", type=int, default=0, help="random scene with N spheres instead of the default")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-print-fps", type=float, default=0.0)
+    p.add_argument("--profile", type=str, default="",
+                   help="write a jax.profiler trace of the run to this directory")
     return p
 
 
@@ -79,9 +81,11 @@ def main(argv=None) -> int:
                              seed=args.seed)
 
     from rtwc_tpu.engine import Engine  # import after flags: jax warm-up is slow
+    from rtwc_tpu.utils import profiler_trace
 
     engine = Engine(rcfg, ecfg, scene=scene, camera=camera)
-    engine.run(max_frames=args.frames or None)
+    with profiler_trace(args.profile or None):
+        engine.run(max_frames=args.frames or None)
     return 0
 
 

@@ -56,7 +56,7 @@ def intersect_spheres(origin: jax.Array, dirs: jax.Array, spheres: Spheres):
     """
     oc = origin - spheres.center                       # [N, 3]
     a = dot(dirs, dirs)[..., None]                     # [..., 1] (== 1 for unit d)
-    b = 2.0 * jnp.einsum("...k,nk->...n", dirs, oc)    # [..., N]
+    b = 2.0 * jnp.einsum("...k,nk->...n", dirs, oc, precision=jax.lax.Precision.HIGHEST)    # [..., N]
     c = (dot(oc, oc) - spheres.radius**2)              # [N]
     disc = b * b - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -81,7 +81,7 @@ def intersect_planes(origin: jax.Array, dirs: jax.Array, planes: Planes):
     t = (p - o).n / d.n with t <= 0 rejected (Plane.cu:52-57), then clamps
     the hit point to the world-axis-aligned x/z extent (Plane.cu:59-68).
     """
-    denom = jnp.einsum("...k,mk->...m", dirs, planes.normal)          # [..., M]
+    denom = jnp.einsum("...k,mk->...m", dirs, planes.normal, precision=jax.lax.Precision.HIGHEST)          # [..., M]
     po = planes.center - origin                                       # [M, 3]
     num = dot(po, planes.normal)                                      # [M]
     safe_denom = jnp.where(jnp.abs(denom) < _FLT_EPSILON, -1.0, denom)

@@ -49,7 +49,7 @@ def _soft_sphere_terms(origin, dirs, spheres, k: float, miss_penalty: float, far
     """Soft sphere intersection (Sphere.cu:30-68 semantics): returns
     (t_eff [..,N], t_clip [..,N], normal [..,N,3])."""
     oc = origin - spheres.center                        # [N, 3]
-    b = 2.0 * jnp.einsum("...k,nk->...n", dirs, oc)     # [..., N]
+    b = 2.0 * jnp.einsum("...k,nk->...n", dirs, oc, precision=jax.lax.Precision.HIGHEST)     # [..., N]
     c = dot(oc, oc) - spheres.radius**2                 # [N]
     disc = b * b - 4.0 * c                              # unit dirs: a == 1
     sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
@@ -69,7 +69,7 @@ def _soft_sphere_terms(origin, dirs, spheres, k: float, miss_penalty: float, far
 
 def _soft_plane_terms(origin, dirs, planes, k: float, miss_penalty: float, far: float):
     """Soft finite-plane intersection (Plane.cu:38-73 semantics)."""
-    denom = jnp.einsum("...k,mk->...m", dirs, planes.normal)
+    denom = jnp.einsum("...k,mk->...m", dirs, planes.normal, precision=jax.lax.Precision.HIGHEST)
     po = planes.center - origin
     num = dot(po, planes.normal)
     safe_denom = jnp.where(jnp.abs(denom) < _FLT_EPSILON, -_FLT_EPSILON, denom)

@@ -1,4 +1,4 @@
 from rtwc_tpu.utils.timer import Timer
-from rtwc_tpu.utils.telemetry import Telemetry
+from rtwc_tpu.utils.telemetry import Telemetry, profiler_trace
 
-__all__ = ["Timer", "Telemetry"]
+__all__ = ["Timer", "Telemetry", "profiler_trace"]
