@@ -10,10 +10,12 @@ differentiable renderer exceeds real-time 1080p training throughput on one
 chip - a bar the interactive reference never attempts (its backward pass
 does not exist).
 
-Memory strategy: the soft renderer materializes [rows, W, n_objects, 3]
-shading intermediates, so the image is processed in row bands with
-lax.map (sequential per band, fully parallel within) - HBM stays bounded
-while the VPU sees large fused elementwise blocks.
+The headline step runs the fused Pallas custom-VJP kernels
+(render/pallas_soft.py): the soft-min over objects is computed online
+inside the forward kernel and the backward kernel applies the closed-form
+softmax VJP, so per-object intermediates never touch HBM. The jnp band
+renderer (render/softmin.py via lax.map) is timed as a secondary number -
+it is the semantic source of truth the kernels are validated against.
 """
 from __future__ import annotations
 
@@ -28,6 +30,7 @@ from rtwc_tpu.camera import camera_rays, default_camera, projection_elements
 from rtwc_tpu.config import RenderConfig
 from rtwc_tpu.render.softmin import trace_soft
 from rtwc_tpu.render.pallas_kernel import render_frame_pallas
+from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
 from rtwc_tpu.scene import random_scene
 
 WIDTH, HEIGHT = 1920, 1080
@@ -36,6 +39,22 @@ BASELINE_RAYS_PER_S = 1920 * 1080 * 60.0  # real-time 1080p fwd+bwd budget
 
 
 def build_fwd_bwd_step(cfg: RenderConfig, tau: float = 0.5):
+    """Headline step: MSE loss + grads through the fused Pallas kernels."""
+
+    def loss_fn(params, target):
+        scene, camera = params
+        fb = render_frame_soft_pallas(scene, camera, cfg, tau=tau)
+        return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+
+    @jax.jit
+    def step(params, target):
+        return jax.value_and_grad(loss_fn)(params, target)
+
+    return step
+
+
+def build_fwd_bwd_step_jnp(cfg: RenderConfig, tau: float = 0.5):
+    """Secondary: the jnp soft renderer in HBM-bounded row bands."""
     e1, e2 = projection_elements(cfg)
     rows_per = cfg.height // N_BANDS
 
@@ -94,12 +113,16 @@ def main() -> None:
     dt = time_it(step, (scene, camera), target)
     rays_per_s = WIDTH * HEIGHT / dt
 
-    # Secondary numbers (not the headline JSON): pure forward Pallas kernel.
+    # Secondary numbers (not the headline JSON): jnp fwd+bwd band renderer
+    # and the pure forward Pallas kernel.
+    jnp_dt = time_it(build_fwd_bwd_step_jnp(cfg), (scene, camera), target)
     fwd_dt = time_it(lambda: render_frame_pallas(scene, camera, cfg).rgb)
     import sys
 
     print(
-        f"# fwd+bwd: {dt * 1e3:.2f} ms/frame ({rays_per_s / 1e6:.1f} Mrays/s) | "
+        f"# pallas fwd+bwd: {dt * 1e3:.2f} ms/frame ({rays_per_s / 1e6:.1f} Mrays/s) | "
+        f"jnp fwd+bwd: {jnp_dt * 1e3:.2f} ms/frame "
+        f"({WIDTH * HEIGHT / jnp_dt / 1e6:.1f} Mrays/s) | "
         f"pallas fwd: {fwd_dt * 1e3:.2f} ms/frame "
         f"({WIDTH * HEIGHT / fwd_dt / 1e6:.1f} Mrays/s) | "
         f"backend={jax.default_backend()} devices={jax.device_count()}",
