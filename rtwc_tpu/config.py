@@ -73,6 +73,12 @@ class RenderConfig:
     # kernel on TPU and the jnp renderer elsewhere; "jnp" / "pallas" force.
     renderer: str = "auto"
 
+    # New capability: supersampled anti-aliasing. The display path renders
+    # at (supersample*W, supersample*H) with an identical frustum and
+    # box-filters down to the cell grid; 1 = reference parity (one ray per
+    # cell, RayTracingManager.cu:120-125).
+    supersample: int = 1
+
     # Static capacity for the padded struct-of-arrays scene. The reference
     # uses 5 MB device pools per type (Scene3D.h:6-7); on TPU dynamic growth
     # becomes pad-to-capacity + active mask (XLA static shapes).

@@ -51,9 +51,12 @@ def _pick_renderer(config: RenderConfig):
 
 @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
 def _render_step(scene: Scene, camera: Camera, dt, config: RenderConfig):
-    """One fused device step: physics + render + mode head."""
+    """One fused device step: physics + render (+ AA downsample) + mode head."""
+    from rtwc_tpu.render.reference import downsample_framebuffer, supersampled_config
+
     scene = update_scene(scene, dt, config.bob_min_y, config.bob_max_y)
-    fb = _pick_renderer(config)(scene, camera, config)
+    fb = _pick_renderer(config)(scene, camera, supersampled_config(config))
+    fb = downsample_framebuffer(fb, config.supersample)
     cells = framebuffer_to_cells(fb, config)
     return scene, cells
 

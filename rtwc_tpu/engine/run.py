@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov-divisor", type=float, default=1.5, help="fov = pi/divisor")
     p.add_argument("--far", type=float, default=250.0)
     p.add_argument("--shadows", action="store_true", help="hard shadows (new capability)")
+    p.add_argument("--supersample", type=int, default=1,
+                   help="anti-aliasing: N^2 rays per cell, box-filtered (new capability)")
     p.add_argument("--renderer", choices=["auto", "jnp", "pallas"], default="auto",
                    help="forward renderer: auto = pallas kernel on TPU, jnp elsewhere")
     p.add_argument("--max-spheres", type=int, default=256)
@@ -32,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fps", action="store_true")
     p.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = run until quit)")
     p.add_argument("--scene", type=str, default="", help="load a saved .npz scene")
+    p.add_argument("--save-scene", type=str, default="",
+                   help="write the final scene + camera pose to this .npz on exit "
+                        "(resume with --scene)")
     p.add_argument("--n-spheres", type=int, default=0, help="random scene with N spheres instead of the default")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-print-fps", type=float, default=0.0)
@@ -58,6 +63,7 @@ def main(argv=None) -> int:
         fov_divisor=args.fov_divisor,
         far=args.far,
         shadows=args.shadows,
+        supersample=max(1, args.supersample),
         renderer=args.renderer,
         max_spheres=args.max_spheres,
     )
@@ -86,6 +92,10 @@ def main(argv=None) -> int:
     engine = Engine(rcfg, ecfg, scene=scene, camera=camera)
     with profiler_trace(args.profile or None):
         engine.run(max_frames=args.frames or None)
+    if args.save_scene:
+        from rtwc_tpu.scene import save_scene
+
+        save_scene(args.save_scene, engine.scene, engine.camera)
     return 0
 
 

@@ -5,6 +5,8 @@ from rtwc_tpu.render.reference import (
     trace_hard,
     blinn_phong,
     render_frame,
+    supersampled_config,
+    downsample_framebuffer,
 )
 from rtwc_tpu.render.softmin import trace_soft, render_frame_soft
 
@@ -15,6 +17,8 @@ __all__ = [
     "trace_hard",
     "blinn_phong",
     "render_frame",
+    "supersampled_config",
+    "downsample_framebuffer",
     "trace_soft",
     "render_frame_soft",
 ]

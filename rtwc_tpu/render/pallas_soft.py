@@ -45,7 +45,7 @@ from rtwc_tpu.camera import Camera
 from rtwc_tpu.config import RenderConfig
 from rtwc_tpu.render.reference import Framebuffer, _FLT_EPSILON
 from rtwc_tpu.render import pack as P
-from rtwc_tpu.render.pallas_kernel import _pow_int, _round_up
+from rtwc_tpu.render.pallas_kernel import _best_bw, _pow_int, _round_up
 
 # Output plane indices.
 SO_R, SO_G, SO_B, SO_DEPTH, SO_NX, SO_NY, SO_NZ, SO_ALPHA, SO_M, SO_S = range(10)
@@ -454,8 +454,7 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
 def _pick_tiles(config: RenderConfig, bh: int | None, bw: int | None,
                 band_h: int | None = None):
     bh = bh or 16
-    bw = bw or 512
-    bw = min(bw, _round_up(config.width, 128))
+    bw = _best_bw(config.width) if bw is None else min(bw, _round_up(config.width, 128))
     bh = min(bh, _round_up(band_h if band_h is not None else config.height, 8))
     return bh, bw
 

@@ -242,6 +242,55 @@ def shade(
     return jnp.where(miss[..., None], 0.0, rgb)
 
 
+def supersampled_config(config: RenderConfig) -> RenderConfig:
+    """The render-resolution config for config.supersample: ss x the cell
+    grid with an identical frustum (aspect = 1/(aspect_coeff*height) must
+    not change, so aspect_coeff scales down by ss)."""
+    ss = config.supersample
+    if ss <= 1:
+        return config
+    return config.replace(
+        width=config.width * ss,
+        height=config.height * ss,
+        aspect_coeff=config.aspect_coeff / ss,
+        supersample=1,
+    )
+
+
+def downsample_framebuffer(fb: Framebuffer, ss: int) -> Framebuffer:
+    """Box-filter an ss-supersampled framebuffer to the cell grid (AA head).
+
+    rgb/shading average over all subsamples (misses contribute black - the
+    silhouette blend that IS the anti-aliasing); normals average over hit
+    subsamples and renormalize; depth averages over hit subsamples only
+    (the MISS_DISTANCE sentinel would poison a plain mean); a cell is a hit
+    when at least half its subsamples hit.
+    """
+    if ss <= 1:
+        return fb
+    H, W = fb.depth.shape
+    h, w = H // ss, W // ss
+
+    def pool(x):
+        return x.reshape(h, ss, w, ss, *x.shape[2:]).mean(axis=(1, 3))
+
+    hitf = pool(fb.hit.astype(jnp.float32))
+    denom = jnp.maximum(hitf, 1.0 / (ss * ss))
+    hit_mask = fb.hit.astype(jnp.float32)
+    depth = jnp.where(
+        hitf > 0.0,
+        pool(fb.depth * hit_mask) / denom,
+        MISS_DISTANCE,
+    )
+    return Framebuffer(
+        rgb=pool(fb.rgb),
+        normal=safe_normalize(pool(fb.normal * hit_mask[..., None])),
+        depth=depth,
+        shading=pool(fb.shading),
+        hit=hitf >= 0.5,
+    )
+
+
 def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Framebuffer:
     """Full forward render: ray-gen -> closest-hit -> shade -> framebuffer.
 

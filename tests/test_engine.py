@@ -49,6 +49,22 @@ def test_engine_stops_when_presenter_dies():
     engine.cleanup()
 
 
+def test_cli_save_and_resume_scene(tmp_path, capsys):
+    """python -m rtwc_tpu --save-scene / --scene round-trip (checkpoint/resume)."""
+    from rtwc_tpu.engine.run import main
+    from rtwc_tpu.scene import load_scene
+
+    path = str(tmp_path / "ckpt.npz")
+    base = ["--width", "32", "--height", "16", "--frames", "2",
+            "--no-fps", "--no-spawn", "--n-spheres", "3"]
+    assert main(base + ["--save-scene", path]) == 0
+    scene, cam = load_scene(path)
+    assert scene.n_spheres == 3 and cam is not None
+    assert main(base + ["--scene", path]) == 0
+    out = capsys.readouterr().out
+    assert "\x1b[" in out  # frames actually reached the terminal
+
+
 def test_engine_all_modes():
     for mode in (RenderMode.BIT_ASCII, RenderMode.BIT_PIXEL, RenderMode.RGB_ASCII,
                  RenderMode.RGB_PIXEL, RenderMode.RGB_NORMALS):

@@ -89,3 +89,59 @@ def test_straight_through_forward_exact():
     hard = render_frame(scene, cam, CFG)
     st = render_frame_soft(scene, cam, CFG, tau=0.05, straight_through=True)
     np.testing.assert_array_equal(np.asarray(st.rgb), np.asarray(hard.rgb))
+
+
+def test_supersampled_frustum_matches_base():
+    """supersampled_config keeps the frustum: the ss=2 render box-filtered
+    down must agree with the base render away from silhouette edges."""
+    from rtwc_tpu.render import downsample_framebuffer, supersampled_config
+
+    scene, cam = default_scene(), default_camera()
+    cfg = CFG.replace(supersample=2)
+    fb_base = render_frame(scene, cam, CFG)
+    fb_hi = render_frame(scene, cam, supersampled_config(cfg))
+    assert fb_hi.rgb.shape == (160, 240, 3)
+    fb_aa = downsample_framebuffer(fb_hi, 2)
+    assert fb_aa.rgb.shape == fb_base.rgb.shape
+    # Interior pixels (all 4 subsamples hit, neighbors hit too) must match
+    # the single-ray render closely; edges differ by design (that's the AA).
+    base = np.asarray(fb_base.rgb)
+    aa = np.asarray(fb_aa.rgb)
+    hit4 = np.asarray(fb_hi.hit).reshape(80, 2, 120, 2).all(axis=(1, 3))
+    interior = hit4 & np.asarray(fb_base.hit)
+    assert interior.sum() > 100
+    err = np.abs(aa[interior] - base[interior])
+    assert np.percentile(err, 90) < 8.0, err.max()
+
+
+def test_supersample_smooths_edges():
+    """AA must strictly reduce the count of fully-black<->lit hard steps
+    along silhouettes: edge cells become intermediate."""
+    from rtwc_tpu.render import downsample_framebuffer, supersampled_config
+
+    s = empty_scene(8, 2)
+    s = add_sphere(s, 7.0, (0.0, 0.0, 20.0), (255.0, 0.0, 0.0), speed=1.0)
+    cam = default_camera()
+    cfg = CFG.replace(supersample=4)
+    fb_hi = render_frame(s, cam, supersampled_config(cfg))
+    fb_aa = downsample_framebuffer(fb_hi, 4)
+    r = np.asarray(fb_aa.rgb[..., 0])
+    hitf = np.asarray(fb_hi.hit).reshape(80, 4, 120, 4).mean(axis=(1, 3))
+    partial = (hitf > 0.0) & (hitf < 1.0)
+    assert partial.sum() > 20, "a sphere silhouette must produce partial cells"
+    assert (r[partial] > 0.0).all(), "partial cells must not be pure background"
+    # depth on partial cells stays finite (hit-weighted mean, no sentinel bleed)
+    assert (np.asarray(fb_aa.depth)[partial] < 2.0 * 250.0).all()
+
+
+def test_engine_supersample_mode_runs():
+    from rtwc_tpu.config import EngineConfig
+    from rtwc_tpu.engine import Engine
+    from rtwc_tpu.io import FramebufferSink
+
+    rcfg = RenderConfig(width=40, height=24, supersample=2, max_spheres=16, max_planes=4)
+    sink = FramebufferSink(keep_all=True)
+    eng = Engine(rcfg, EngineConfig(spawn=False, show_fps=False),
+                 presenter=sink, interactive=False)
+    eng.run(max_frames=2)
+    assert len(sink.frames) == 2 and sink.frames[-1].count(b"\n") == 24
