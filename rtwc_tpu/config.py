@@ -95,6 +95,11 @@ class RenderConfig:
     # their depth, i.e. far behind the background plane).
     soft_mask_k: float = 50.0
     soft_miss_penalty: float = 2500.0
+    # Sharpness of the smooth occlusion step in the differentiable shadow
+    # term (soft path only): each hard shadow-ray condition becomes a
+    # sigmoid(k * condition); as k -> inf the soft visibility converges to
+    # the hard any-occluder test (render/reference.py _shadow_visibility).
+    soft_shadow_k: float = 50.0
 
     # Scene animation bounds (Sphere.cu:15-23: bob y within [-10, 10]).
     bob_min_y: float = -10.0

@@ -63,13 +63,15 @@ def _make_render_sharded(config: RenderConfig, mesh: Mesh):
         )
         t, normal, color, shading = trace_hard(scene, origin, dirs)
         rgb = shade(scene, origin, dirs, t, normal, color, config)
-        return Framebuffer(rgb=rgb, normal=normal, depth=t, shading=shading, hit=t <= config.far)
+        hit = t <= config.far
+        return Framebuffer(rgb=rgb, normal=normal, depth=t, shading=shading, hit=hit,
+                           coverage=hit.astype(jnp.float32))
 
     fn = shard_map(
         band,
         mesh=mesh,
         in_specs=(P(), P()),            # scene + camera replicated
-        out_specs=jax.tree.map(lambda _: P(TILE_AXIS), Framebuffer(0, 0, 0, 0, 0)),
+        out_specs=jax.tree.map(lambda _: P(TILE_AXIS), Framebuffer(0, 0, 0, 0, 0, 0)),
     )
     return jax.jit(fn)
 

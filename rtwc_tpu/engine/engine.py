@@ -85,7 +85,9 @@ class Engine:
         )
         self.timer = Timer()
         self.telemetry = Telemetry(
-            rays_per_frame=self.rcfg.width * self.rcfg.height,
+            # supersample=N traces N^2 rays per cell before the AA downsample
+            rays_per_frame=self.rcfg.width * self.rcfg.height
+            * self.rcfg.supersample ** 2,
             update_interval_s=self.ecfg.fps_update_interval_s,
         )
         self._rng = np.random.default_rng(self.ecfg.seed)

@@ -90,13 +90,21 @@ def main(argv=None) -> int:
     from rtwc_tpu.utils import profiler_trace
 
     engine = Engine(rcfg, ecfg, scene=scene, camera=camera)
-    with profiler_trace(args.profile or None):
-        engine.run(max_frames=args.frames or None)
-    if args.save_scene:
-        from rtwc_tpu.scene import save_scene
+    interrupted = False
+    try:
+        with profiler_trace(args.profile or None):
+            engine.run(max_frames=args.frames or None)
+    except KeyboardInterrupt:
+        # Ctrl-C is a normal way to leave the interactive loop; the engine's
+        # finally-block has already restored the terminal. Fall through so
+        # --save-scene still checkpoints (it must not be skipped on SIGINT).
+        interrupted = True
+    finally:
+        if args.save_scene:
+            from rtwc_tpu.scene import save_scene
 
-        save_scene(args.save_scene, engine.scene, engine.camera)
-    return 0
+            save_scene(args.save_scene, engine.scene, engine.camera)
+    return 130 if interrupted else 0
 
 
 if __name__ == "__main__":

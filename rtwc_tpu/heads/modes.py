@@ -44,11 +44,17 @@ def framebuffer_to_cells(fb: Framebuffer, config: RenderConfig):
     """
     mode = config.mode
     hit = fb.hit
+    # Color visibility: any touched cell shows its (AA-pooled) color - under
+    # supersampling a silhouette cell with <50% coverage still carries the
+    # anti-aliased blend (pooled rgb is darkened by its miss-black
+    # subsamples). Glyph fg/bg decisions below keep the majority `hit` rule.
+    # Without AA, coverage == hit as float, so this is the same mask.
+    visible = fb.coverage > 0.0
     H, W = fb.depth.shape
 
     if mode in (RenderMode.BIT_ASCII, RenderMode.BIT_PIXEL):
         idx = ansi256_from_rgb(_trunc_u8(fb.rgb))
-        color = jnp.where(hit, idx, 16)  # miss: bg colour 16 (RayTracing.cu:244-251)
+        color = jnp.where(visible, idx, 16)  # miss: bg colour 16 (RayTracing.cu:244-251)
         if mode == RenderMode.BIT_ASCII:
             kind = jnp.where(hit, 1, 0)  # fg for hits, bg for misses
             char = jnp.where(hit, _ascii_chars(fb, config.far), _SPACE)
@@ -58,13 +64,13 @@ def framebuffer_to_cells(fb: Framebuffer, config: RenderConfig):
         return kind, color.astype(jnp.int32), char.astype(jnp.int32)
 
     if mode == RenderMode.RGB_ASCII:
-        color = jnp.where(hit[..., None], _trunc_u8(fb.rgb), 0)
+        color = jnp.where(visible[..., None], _trunc_u8(fb.rgb), 0)
         kind = jnp.where(hit, 1, 0)
         char = jnp.where(hit, _ascii_chars(fb, config.far), _SPACE)
         return kind, color, char.astype(jnp.int32)
 
     if mode == RenderMode.RGB_PIXEL:
-        color = jnp.where(hit[..., None], _trunc_u8(fb.rgb), 0)
+        color = jnp.where(visible[..., None], _trunc_u8(fb.rgb), 0)
         kind = jnp.zeros((H, W), jnp.int32)
         char = jnp.full((H, W), _SPACE, jnp.int32)
         return kind, color, char
@@ -73,7 +79,7 @@ def framebuffer_to_cells(fb: Framebuffer, config: RenderConfig):
         # Normals debug view (RayTracing.cu:612-752). The reference feeds
         # normal*255 through a (uint8_t) cast, wrapping negatives (UB in C);
         # we clamp to [0,255] instead - same intent, defined behavior.
-        color = jnp.where(hit[..., None], _trunc_u8(fb.normal * 255.0), 0)
+        color = jnp.where(visible[..., None], _trunc_u8(fb.normal * 255.0), 0)
         kind = jnp.zeros(fb.depth.shape, jnp.int32)
         char = jnp.full(fb.depth.shape, _SPACE, jnp.int32)
         return kind, color, char

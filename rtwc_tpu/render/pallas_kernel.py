@@ -294,12 +294,14 @@ def _render_pallas_jit(scene, camera, *, config: RenderConfig, bh: int, bw: int,
     rgb = jnp.moveaxis(out[O_R : O_B + 1], 0, -1)
     normal = jnp.moveaxis(out[O_NX : O_NZ + 1], 0, -1)
     depth = out[O_DEPTH]
+    hit = depth <= config.far
     return Framebuffer(
         rgb=rgb,
         normal=normal,
         depth=depth,
         shading=out[O_SHADING],
-        hit=depth <= config.far,
+        hit=hit,
+        coverage=hit.astype(jnp.float32),
     )
 
 

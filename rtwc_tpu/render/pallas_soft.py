@@ -486,10 +486,12 @@ def _render_soft_pallas_jit(scene, camera, *, config, tau, bh, bw, interpret):
     rgb = jnp.moveaxis(out[SO_R: SO_B + 1], 0, -1)
     normal = jnp.moveaxis(out[SO_NX: SO_NZ + 1], 0, -1)
     depth = out[SO_DEPTH]
+    hit = depth <= config.far * (1.0 - 1e-4)
     return Framebuffer(
         rgb=rgb, normal=normal, depth=depth,
         shading=normal[..., 0],
-        hit=depth <= config.far * (1.0 - 1e-4),
+        hit=hit,
+        coverage=hit.astype(jnp.float32),
     )
 
 

@@ -44,6 +44,11 @@ class Framebuffer:
     depth: jax.Array    # [H, W]    f32, ray parameter t (MISS_DISTANCE if miss)
     shading: jax.Array  # [H, W]    f32, dot(normal, (1,0,0)) (RayTracing.cu:133)
     hit: jax.Array      # [H, W]    bool, depth <= far (the display-hit test)
+    coverage: jax.Array  # [H, W]   f32 in [0,1]: hit fraction of the cell
+    #                    (== hit as float without AA; the pooled subsample
+    #                    fraction under supersampling, so the heads can show
+    #                    the AA blend on any partially-covered silhouette
+    #                    cell while glyph fg/bg decisions keep using `hit`)
 
 
 def intersect_spheres(origin: jax.Array, dirs: jax.Array, spheres: Spheres):
@@ -260,11 +265,14 @@ def supersampled_config(config: RenderConfig) -> RenderConfig:
 def downsample_framebuffer(fb: Framebuffer, ss: int) -> Framebuffer:
     """Box-filter an ss-supersampled framebuffer to the cell grid (AA head).
 
-    rgb/shading average over all subsamples (misses contribute black - the
-    silhouette blend that IS the anti-aliasing); normals average over hit
-    subsamples and renormalize; depth averages over hit subsamples only
-    (the MISS_DISTANCE sentinel would poison a plain mean); a cell is a hit
-    when at least half its subsamples hit.
+    rgb/shading average over display-hit subsamples with misses contributing
+    black (the silhouette blend that IS the anti-aliasing; masking by hit
+    keeps beyond-far-plane subsample color out, matching the heads' hit
+    masking on the ss=1 path); normals average over hit subsamples and
+    renormalize; depth averages over hit subsamples only (the MISS_DISTANCE
+    sentinel would poison a plain mean); a cell is a hit when at least half
+    its subsamples hit, but `coverage` carries the exact pooled fraction so
+    the display heads can show the AA blend on any touched cell.
     """
     if ss <= 1:
         return fb
@@ -283,11 +291,12 @@ def downsample_framebuffer(fb: Framebuffer, ss: int) -> Framebuffer:
         MISS_DISTANCE,
     )
     return Framebuffer(
-        rgb=pool(fb.rgb),
+        rgb=pool(fb.rgb * hit_mask[..., None]),
         normal=safe_normalize(pool(fb.normal * hit_mask[..., None])),
         depth=depth,
-        shading=pool(fb.shading),
+        shading=pool(fb.shading * hit_mask),
         hit=hitf >= 0.5,
+        coverage=hitf,
     )
 
 
@@ -303,4 +312,5 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Framebuf
     t, normal, color, shading = trace_hard(scene, origin, dirs)
     rgb = shade(scene, origin, dirs, t, normal, color, config)
     hit = t <= config.far
-    return Framebuffer(rgb=rgb, normal=normal, depth=t, shading=shading, hit=hit)
+    return Framebuffer(rgb=rgb, normal=normal, depth=t, shading=shading, hit=hit,
+                       coverage=hit.astype(jnp.float32))

@@ -88,6 +88,62 @@ def _soft_plane_terms(origin, dirs, planes, k: float, miss_penalty: float, far: 
     return t_clip + pen, t_clip, n
 
 
+def _soft_shadow_visibility(scene: Scene, point, config: RenderConfig):
+    """Differentiable shadow term (soft analogue of reference.py's
+    _shadow_visibility): every hard shadow-ray reject branch becomes a
+    sigmoid step of sharpness soft_shadow_k, and the any-occluder OR
+    becomes a product of per-occluder transmittances
+
+        vis = prod_j (1 - block_j),
+        block_j = prod_c sigmoid(k * x_c)   (x_c > 0 <=> condition c holds)
+
+    evaluated once per ray at the blended hit point. As k -> inf this
+    converges to the hard test; gradients flow to occluder geometry and
+    (through the blended point) to the receiving surface and camera.
+    """
+    ks = config.soft_shadow_k
+    sig = jax.nn.sigmoid
+    light_pos = jnp.asarray(config.light_pos, jnp.float32)
+    to_light = light_pos - point
+    dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-12))
+    d = to_light / dist[..., None]
+    o = point + d * 1e-2  # self-intersection offset (reference uses 1e-3)
+
+    sp = scene.spheres
+    oc = o[..., None, :] - sp.center                                 # [..., N, 3]
+    b = 2.0 * jnp.sum(d[..., None, :] * oc, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - sp.radius**2
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+    t1 = 0.5 * (-b + sq)
+    t2 = 0.5 * (-b - sq)
+    scale = 1.0 / jnp.maximum(sp.radius, 1e-3)
+    block_s = (
+        sig(ks * disc * scale * scale)
+        * sig(ks * t1) * sig(ks * t2)
+        * sig(ks * (dist[..., None] - t2))
+        * jnp.where(sp.active > 0.5, 1.0, 0.0)
+    )
+
+    pl = scene.planes
+    denom = jnp.sum(d[..., None, :] * pl.normal, axis=-1)            # [..., M]
+    num = jnp.sum((pl.center - o[..., None, :]) * pl.normal, axis=-1)
+    safe_denom = jnp.where(jnp.abs(denom) < _FLT_EPSILON, -_FLT_EPSILON, denom)
+    t = num / safe_denom
+    p = o[..., None, :] + d[..., None, :] * t[..., None]
+    block_p = (
+        sig(ks * (-denom - _FLT_EPSILON))
+        * sig(ks * t)
+        * sig(ks * (pl.width * 0.5 - jnp.abs(p[..., 0] - pl.center[:, 0])))
+        * sig(ks * (pl.height * 0.5 - jnp.abs(p[..., 2] - pl.center[:, 2])))
+        * sig(ks * (dist[..., None] - t))
+        * jnp.where(pl.active > 0.5, 1.0, 0.0)
+    )
+
+    trans = jnp.concatenate([1.0 - block_s, 1.0 - block_p], axis=-1)
+    return jnp.prod(trans, axis=-1)
+
+
 def trace_soft(scene: Scene, origin, dirs, config: RenderConfig, tau: float | None = None):
     """Soft closest-hit + shading blend.
 
@@ -118,9 +174,20 @@ def trace_soft(scene: Scene, origin, dirs, config: RenderConfig, tau: float | No
     # already-shaded colors keeps silhouette gradients clean).
     point = origin + dirs[..., None, :] * t_clip[..., None]          # [..., O, 3]
     view = safe_normalize(-dirs)[..., None, :]
+    if config.shadows:
+        # Differentiable shadows: one soft occlusion test per ray at the
+        # softmin-blended hit point (O(rays x objects), not per-object
+        # points which would square the object cost); the visibility
+        # scales every object's direct light, ambient survives.
+        depth_blend = jnp.sum(w_obj * t_clip, axis=-1) + w_bg * config.far
+        point_blend = origin + dirs * depth_blend[..., None]
+        vis = _soft_shadow_visibility(scene, point_blend, config)[..., None]
+    else:
+        vis = None
     shaded = blinn_phong(color_all / 255.0,
                          jnp.asarray(config.object_specular_color, jnp.float32),
-                         point, view, n_all, config)
+                         point, view, n_all, config,
+                         light_visibility=vis)
     rgb_obj = jnp.minimum(255.0, shaded * 255.0)                     # [..., O, 3]
 
     rgb = jnp.sum(w_obj[..., None] * rgb_obj, axis=-2)               # bg adds 0
@@ -151,4 +218,5 @@ def render_frame_soft(
         depth = jnp.minimum(hard.depth, config.far) + (depth - jax.lax.stop_gradient(depth))
         normal = hard.normal + (normal - jax.lax.stop_gradient(normal))
     hit = depth <= config.far * (1.0 - 1e-4)
-    return Framebuffer(rgb=rgb, normal=normal, depth=depth, shading=normal[..., 0], hit=hit)
+    return Framebuffer(rgb=rgb, normal=normal, depth=depth, shading=normal[..., 0], hit=hit,
+                       coverage=hit.astype(jnp.float32))

@@ -142,6 +142,68 @@ def test_check_grads_api():
                 modes=["rev"], rtol=0.08, atol=1e-3, eps=1e-3)
 
 
+def _shadow_scene():
+    """Occluder between the light (1, 50, 0) and a ground plane: the plane
+    under the sphere is in shadow."""
+    s = empty_scene(4, 2)
+    s = add_sphere(s, 4.0, (0.0, 8.0, 20.0), (200.0, 40.0, 40.0), speed=1.0)
+    s = add_plane(s, (0.0, -3.0, 30.0), (0.0, 1.0, 0.0), (200.0, 200.0, 200.0), 100.0, 100.0)
+    return s
+
+
+def test_grad_shadows_sphere_center():
+    """Finite-difference check THROUGH the soft shadow term: moving the
+    occluder moves the shadow, so d(loss)/d(center) must include it."""
+    cfg = CFG.replace(shadows=True, soft_shadow_k=5.0,
+                      soft_miss_penalty=100.0, soft_mask_k=5.0)
+    base = _shadow_scene()
+
+    def loss(centers):
+        scene = base.replace(spheres=base.spheres.replace(center=centers))
+        fb = render_frame_soft(scene, default_camera(), cfg, tau=1.0)
+        return jnp.mean(fb.rgb / 255.0)
+
+    _check_fd(loss, base.spheres.center, eps=1e-2, rtol=0.15, atol=1e-4)
+
+
+def test_soft_shadow_darkens_and_converges_to_hard():
+    """The soft shadowed forward must (a) darken shadowed ground pixels vs
+    the unshadowed render and (b) converge to the hard shadowed image as
+    tau -> 0 and the occlusion sigmoids sharpen."""
+    from rtwc_tpu.render import render_frame
+
+    base = _shadow_scene()
+    cam = default_camera()
+    sharp = CFG.replace(shadows=True, soft_shadow_k=500.0)
+    hard = render_frame(base, cam, sharp)
+    soft = render_frame_soft(base, cam, sharp, tau=0.02)
+    lit = render_frame_soft(base, cam, CFG.replace(shadows=False), tau=0.02)
+
+    hard_rgb = np.asarray(hard.rgb)
+    soft_rgb = np.asarray(soft.rgb)
+    hit = np.asarray(hard.hit)
+    # shadowed pixels exist: hard shadow image darker than unshadowed somewhere
+    darker = (np.asarray(lit.rgb).sum(-1) - soft_rgb.sum(-1)) > 30.0
+    assert darker.sum() > 50, "expected a visible shadow region"
+    # soft ~= hard away from silhouettes: median error small
+    err = np.abs(soft_rgb - hard_rgb)[hit]
+    assert np.median(err) < 2.0, np.median(err)
+
+
+def test_grads_finite_with_shadows():
+    cfg = CFG.replace(shadows=True)
+    base = _shadow_scene()
+    cam = default_camera()
+
+    def loss(scene, cam):
+        fb = render_frame_soft(scene, cam, cfg, tau=0.05)
+        return jnp.mean(fb.rgb) + jnp.mean(fb.depth)
+
+    gs, gc = jax.grad(loss, argnums=(0, 1))(base, cam)
+    for leaf in jax.tree.leaves((gs, gc)):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_grads_finite_everywhere():
     base = _scene()
     cam = default_camera()

@@ -134,6 +134,32 @@ def test_supersample_smooths_edges():
     assert (np.asarray(fb_aa.depth)[partial] < 2.0 * 250.0).all()
 
 
+def test_supersample_partial_cells_display_color():
+    """Regression (ADVICE r1): the DISPLAY path must keep the AA blend on
+    silhouette cells with <50% coverage - the mode head masks color by
+    coverage > 0, not by the majority hit rule (which still drives glyphs)."""
+    from rtwc_tpu.config import RenderMode
+    from rtwc_tpu.heads import framebuffer_to_cells
+    from rtwc_tpu.render import downsample_framebuffer, supersampled_config
+
+    s = empty_scene(8, 2)
+    s = add_sphere(s, 7.0, (0.0, 0.0, 20.0), (255.0, 0.0, 0.0), speed=1.0)
+    cam = default_camera()
+    cfg = CFG.replace(supersample=4, mode=RenderMode.RGB_PIXEL)
+    fb_aa = downsample_framebuffer(render_frame(s, cam, supersampled_config(cfg)), 4)
+    cov = np.asarray(fb_aa.coverage)
+    minority = (cov > 0.0) & (cov < 0.5)
+    assert minority.sum() > 0, "need sub-majority silhouette cells"
+    _, color, _ = framebuffer_to_cells(fb_aa, cfg)
+    col = np.asarray(color)
+    assert (col[minority].sum(axis=-1) > 0).all(), (
+        "sub-majority-coverage cells must display the AA blend, not black"
+    )
+    # and pooled color excludes beyond-far subsample color: where nothing
+    # hits, the cell is exactly black
+    assert (col[cov == 0.0] == 0).all()
+
+
 def test_engine_supersample_mode_runs():
     from rtwc_tpu.config import EngineConfig
     from rtwc_tpu.engine import Engine
