@@ -32,16 +32,29 @@ _CLEAR = b"\x1b[2J"
 
 
 class ConsolePresenter:
-    """Threaded, double-buffered ANSI frame presenter."""
+    """Threaded, double-buffered ANSI frame presenter.
+
+    The print thread itself comes in two implementations, chosen at start():
+    the native C++ print machine (io/native/print_machine.cpp - blits
+    outside the GIL, used whenever the output has a real file descriptor
+    and the native library builds) and the pure-Python loop below (any
+    file-like sink; the fallback without a toolchain). Byte-for-byte same
+    output contract.
+    """
 
     def __init__(self, width: int, height: int, out=None, show_fps: bool = True,
-                 max_print_fps: float = 0.0, title: str = "rtwc-tpu"):
+                 max_print_fps: float = 0.0, title: str = "rtwc-tpu",
+                 backend: str = "auto"):
         self.width = width
         self.height = height
         self._out = out if out is not None else sys.stdout.buffer
         self._show_fps = show_fps
         self._min_period = 1.0 / max_print_fps if max_print_fps > 0 else 0.0
         self._title = title
+        if backend not in ("auto", "native", "python"):
+            raise ValueError(f"unknown presenter backend {backend!r}")
+        self._backend = backend
+        self._native = None  # NativePrintMachine when active
 
         self._lock = threading.Lock()
         self._back_buffer: bytes = b""
@@ -57,17 +70,42 @@ class ConsolePresenter:
 
     # -- lifecycle (PrintMachine::Start / CleanUp) ---------------------------
 
+    def _try_native(self):
+        if self._backend == "python":
+            return None
+        try:
+            fd = self._out.fileno()
+        except Exception:
+            fd = None
+        if fd is None:
+            if self._backend == "native":
+                raise RuntimeError("native presenter needs an output with a file descriptor")
+            return None
+        try:
+            from rtwc_tpu.io.native import NativePrintMachine
+
+            return NativePrintMachine(fd, self._show_fps, self._min_period)
+        except Exception:
+            if self._backend == "native":
+                raise
+            return None
+
     def start(self) -> None:
         self._setup_terminal()
         self._install_signal_handlers()
         self._running = True
         self._terminate = False
-        self._thread = threading.Thread(target=self._print_loop, daemon=True,
-                                        name="rtwc-print")
-        self._thread.start()
+        self._native = self._try_native()
+        if self._native is None:
+            self._thread = threading.Thread(target=self._print_loop, daemon=True,
+                                            name="rtwc-print")
+            self._thread.start()
 
     def cleanup(self) -> None:
         self._terminate = True
+        if self._native is not None:
+            self._native.stop()
+            self._native = None
         if self._thread is not None:
             self._thread.join(timeout=2.0)
             self._thread = None
@@ -77,20 +115,29 @@ class ConsolePresenter:
 
     def check_if_running(self) -> bool:
         """Liveness probe the engine polls each frame (Engine3D.cpp:33)."""
+        if self._native is not None and not self._native.running():
+            return False  # e.g. broken pipe in the native blit thread
         return self._running and not self._terminate
 
     # -- producer side (PrintMachine::SetDataInBackBuffer) -------------------
 
     def set_data_in_back_buffer(self, frame: bytes) -> None:
+        if self._native is not None:
+            self._native.publish(frame)
+            return
         with self._lock:
             self._back_buffer = frame
             self._fresh = True
 
     def update_rendering_fps(self, fps: float) -> None:
         self._rendering_fps = fps
+        if self._native is not None:
+            self._native.set_rendering_fps(fps)
 
     @property
     def printing_fps(self) -> float:
+        if self._native is not None:
+            return self._native.printing_fps
         return self._printing_fps
 
     # -- print thread (PrintMachine::Print) ----------------------------------

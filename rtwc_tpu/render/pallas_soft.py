@@ -85,8 +85,8 @@ def _make_object_fns(config: RenderConfig, tau: float):
         # view = -d (unit), light attenuates 1/d^2, ambient always on.
         ldx, ldy, ldz = lx - px, ly - py, lz - pz
         d2 = ldx * ldx + ldy * ldy + ldz * ldz
-        inv_d2 = 1.0 / d2
         il = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+        inv_d2 = il * il  # 1/d^2 without the divide
         ldx, ldy, ldz = ldx * il, ldy * il, ldz * il
         inn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
         nx, ny, nz = nx * inn, ny * inn, nz * inn
@@ -106,16 +106,50 @@ def _make_object_fns(config: RenderConfig, tau: float):
                 channel(cg, ldc[1], lsc[1], osc[1]),
                 channel(cb, ldc[2], lsc[2], osc[2]))
 
+    def sphere_lb(scx, scy, scz, r, dx, dy, dz, ox, oy, oz):
+        """Transcendental-free LOWER bound on the sphere's t_eff
+        (pen(x) = softplus(-k x)/k >= relu(-x)): the per-tile culling
+        predicate. ~15 VPU ops vs ~90 for the full intersect+shade, so
+        tiles skip every object they can't possibly see - the TPU-native
+        realization of the reference's empty Culling kernel stub
+        (RayTracingManager.cu:46-51)."""
+        ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
+        b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * c
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t2 = 0.5 * (-b - sq)
+        scale = 1.0 / jnp.maximum(r, 1e-3)
+        return jnp.clip(t2, 0.0, far) + mp * (
+            jnp.maximum(-disc * scale * scale, 0.0) + jnp.maximum(-t2, 0.0))
+
+    def plane_lb(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, dx, dy, dz, ox, oy, oz):
+        """Transcendental-free lower bound on the plane's t_eff."""
+        denom = dx * pnx + dy * pny + dz * pnz
+        num = (pcx - ox) * pnx + (pcy - oy) * pny + (pcz - oz) * pnz
+        eps = jnp.float32(_FLT_EPSILON)
+        safe = jnp.where(jnp.abs(denom) < eps, -eps, denom)
+        t = num / safe
+        t_clip = jnp.clip(t, 0.0, far)
+        px = ox + dx * t_clip
+        pz = oz + dz * t_clip
+        return t_clip + mp * (
+            jnp.maximum(denom + eps, 0.0)
+            + jnp.maximum(-t, 0.0)
+            + jnp.maximum(jnp.abs(px - pcx) - hw, 0.0)
+            + jnp.maximum(jnp.abs(pz - pcz) - hh, 0.0))
+
     def sphere_f(scx, scy, scz, r, cr, cg, cb, dx, dy, dz, ox, oy, oz):
         ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
         b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b * b - 4.0 * c
         sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
-        t1 = 0.5 * (-b + sq)
         t2 = 0.5 * (-b - sq)
         scale = 1.0 / jnp.maximum(r, 1e-3)
-        p_ = mp * (pen(disc * scale * scale) + pen(t1) + pen(t2))
+        # t1 = t2 + sq >= t2, so pen(t2) covers the reference's t1/t2 >= 0
+        # pair (Sphere.cu:55-60) exactly; one softplus saved per object.
+        p_ = mp * (pen(disc * scale * scale) + pen(t2))
         t_clip = jnp.clip(t2, 0.0, far)
         px = ox + dx * t_clip
         py = oy + dy * t_clip
@@ -146,7 +180,7 @@ def _make_object_fns(config: RenderConfig, tau: float):
         r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz)
         return t_clip + p_, r_, g_, b_, t_clip, nx, ny, nz
 
-    return sphere_f, plane_f
+    return sphere_f, plane_f, sphere_lb, plane_lb
 
 
 def _make_raygen(config: RenderConfig, bh: int, bw: int):
@@ -173,9 +207,13 @@ def _make_raygen(config: RenderConfig, bh: int, bw: int):
     return raygen
 
 
+_CULL_LOG_EPS = -16.0  # max relative softmin weight exp(-16) ~ 1e-7: sub-ULP in f32
+
+
 def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
+                   cull: bool,
                    cam_ref, sph_ref, pl_ref, out_ref):
-    sphere_f, plane_f = _make_object_fns(config, tau)
+    sphere_f, plane_f, sphere_lb, plane_lb = _make_object_fns(config, tau)
     raygen = _make_raygen(config, bh, bw)
     i, j = pl.program_id(0), pl.program_id(1)
 
@@ -200,29 +238,59 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         t_eff, r_, g_, b_, t_clip, nx, ny, nz = values
         logit = -t_eff * inv_tau
         m_new = jnp.maximum(m, logit)
-        alpha_ = jnp.exp(m - m_new)
-        p = jnp.exp(logit - m_new)
+        # Of alpha = exp(m - m_new) and p = exp(logit - m_new), one is
+        # always 1 (m_new is whichever argument won the max), so a single
+        # exp of -|logit - m| serves both - exact, and one VPU
+        # transcendental per object instead of two.
+        e = jnp.exp(-jnp.abs(logit - m))
+        up = logit > m
+        alpha_ = jnp.where(up, e, 1.0)
+        p = jnp.where(up, 1.0, e)
         s = s * alpha_ + p
         v = (r_, g_, b_, t_clip, nx, ny, nz)
         acc = tuple(a * alpha_ + p * vi for a, vi in zip(acc, v))
         return m_new, s, acc
 
+    # Per-tile object culling: the cheap t_eff lower bound says whether this
+    # object can reach relative softmin weight > exp(_CULL_LOG_EPS) anywhere
+    # in the tile (vs the RUNNING max logit - conservative: m only grows, so
+    # a skip stays a skip under the final normalizer). Only then run the
+    # full intersect + shade + accumulate. Typical tiles see a handful of
+    # the N objects, so the heavy path runs for those alone.
     def sphere_body(k, state):
-        vals = sphere_f(
-            sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
-            sph_ref[P.S_R, k],
-            sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
-            dx, dy, dz, ox, oy, oz)
-        return accumulate(state, vals)
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+
+        def heavy(st):
+            vals = sphere_f(
+                *geo,
+                sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
+                dx, dy, dz, ox, oy, oz)
+            return accumulate(st, vals)
+
+        if not cull:
+            return heavy(state)
+        lb = sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        return jax.lax.cond(rel, heavy, lambda st: st, state)
 
     def plane_body(k, state):
-        vals = plane_f(
-            pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
-            pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
-            pl_ref[P.P_HW, k], pl_ref[P.P_HH, k],
-            pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
-            dx, dy, dz, ox, oy, oz)
-        return accumulate(state, vals)
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+
+        def heavy(st):
+            vals = plane_f(
+                *geo,
+                pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
+                dx, dy, dz, ox, oy, oz)
+            return accumulate(st, vals)
+
+        if not cull:
+            return heavy(state)
+        lb = plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        return jax.lax.cond(rel, heavy, lambda st: st, state)
 
     n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
     n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
@@ -246,7 +314,7 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                    cam_ref, sph_ref, pl_ref, sav_ref, g_ref,
                    dsph_ref, dpl_ref, dcam_ref):
-    sphere_f, plane_f = _make_object_fns(config, tau)
+    sphere_f, plane_f, sphere_lb, plane_lb = _make_object_fns(config, tau)
     raygen = _make_raygen(config, bh, bw)
     i, j = pl.program_id(0), pl.program_id(1)
     NS = sph_ref.shape[1]
@@ -311,44 +379,62 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     sph_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NS), 1)
     pl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
 
+    # Same culling as the forward pass, but against the SAVED final max m -
+    # an exact relevance test: objects below the weight floor contribute
+    # sub-ULP cotangents, so their (expensive) in-kernel vjp replay is
+    # skipped entirely.
     def sphere_body(k, carry):
-        gdx, gdy, gdz, gox, goy, goz, dsph, dpl = carry
-        args = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
-                sph_ref[P.S_R, k],
-                sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
-                dx, dy, dz, ox, oy, oz)
-        vals, fvjp = jax.vjp(sphere_f, *args)
-        grads = fvjp(cotangents(vals))
-        onehot = (sph_iota == k).astype(jnp.float32)
-        # grads[0..6] align with table rows S_CX..S_COLB (= 0..6);
-        # row 7 (S_ACTIVE) takes no gradient.
-        dsph = tuple(
-            (acc + onehot * grads[row]) if row < 7 else acc
-            for row, acc in enumerate(dsph)
-        )
-        return (gdx + grads[7], gdy + grads[8], gdz + grads[9],
-                gox + grads[10], goy + grads[11], goz + grads[12],
-                dsph, dpl)
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+        lb = sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+
+        def heavy(c):
+            gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
+            args = (*geo,
+                    sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+            vals, fvjp = jax.vjp(sphere_f, *args)
+            grads = fvjp(cotangents(vals))
+            onehot = (sph_iota == k).astype(jnp.float32)
+            # grads[0..6] align with table rows S_CX..S_COLB (= 0..6);
+            # row 7 (S_ACTIVE) takes no gradient.
+            dsph = tuple(
+                (acc + onehot * grads[row]) if row < 7 else acc
+                for row, acc in enumerate(dsph)
+            )
+            return (gdx + grads[7], gdy + grads[8], gdz + grads[9],
+                    gox + grads[10], goy + grads[11], goz + grads[12],
+                    dsph, dpl)
+
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
 
     def plane_body(k, carry):
-        gdx, gdy, gdz, gox, goy, goz, dsph, dpl = carry
-        args = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
-                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
-                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k],
-                pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
-                dx, dy, dz, ox, oy, oz)
-        vals, fvjp = jax.vjp(plane_f, *args)
-        grads = fvjp(cotangents(vals))
-        onehot = (pl_iota == k).astype(jnp.float32)
-        # grads[0..10] align with table rows P_CX..P_COLB (= 0..10);
-        # row 11 (P_ACTIVE) takes no gradient.
-        dpl = tuple(
-            (acc + onehot * grads[row]) if row < 11 else acc
-            for row, acc in enumerate(dpl)
-        )
-        return (gdx + grads[11], gdy + grads[12], gdz + grads[13],
-                gox + grads[14], goy + grads[15], goz + grads[16],
-                dsph, dpl)
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+        lb = plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+
+        def heavy(c):
+            gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
+            args = (*geo,
+                    pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+            vals, fvjp = jax.vjp(plane_f, *args)
+            grads = fvjp(cotangents(vals))
+            onehot = (pl_iota == k).astype(jnp.float32)
+            # grads[0..10] align with table rows P_CX..P_COLB (= 0..10);
+            # row 11 (P_ACTIVE) takes no gradient.
+            dpl = tuple(
+                (acc + onehot * grads[row]) if row < 11 else acc
+                for row, acc in enumerate(dpl)
+            )
+            return (gdx + grads[11], gdy + grads[12], gdz + grads[13],
+                    gox + grads[14], goy + grads[15], goz + grads[16],
+                    dsph, dpl)
+
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
 
     n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
     n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
@@ -374,7 +460,8 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 @functools.lru_cache(maxsize=32)
 def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
-                       interpret: bool, band_h: int | None = None):
+                       interpret: bool, band_h: int | None = None,
+                       fwd_cull: bool = True):
     """custom_vjp'd fn(sph [8,NS], pl [12,NP], cam [1,16]) -> [10,Hp,Wp].
 
     band_h renders only that many image rows starting at the row carried in
@@ -385,7 +472,7 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
     grid = (Hp // bh, Wp // bw)
 
     def fwd_call(sph, pl_, cam):
-        kernel = functools.partial(_soft_fwd_body, config, tau, bh, bw)
+        kernel = functools.partial(_soft_fwd_body, config, tau, bh, bw, fwd_cull)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -453,7 +540,10 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
 
 def _pick_tiles(config: RenderConfig, bh: int | None, bw: int | None,
                 band_h: int | None = None):
-    bh = bh or 16
+    # bh=32 measured best for the culled fwd+bwd pair at 1080p on v5e
+    # (bh=64 exceeds the 16 MB scoped-VMEM limit in the backward kernel:
+    # two 10-plane blocks + carried state).
+    bh = bh or 32
     bw = _best_bw(config.width) if bw is None else min(bw, _round_up(config.width, 128))
     bh = min(bh, _round_up(band_h if band_h is not None else config.height, 8))
     return bh, bw

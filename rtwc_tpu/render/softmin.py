@@ -56,10 +56,12 @@ def _soft_sphere_terms(origin, dirs, spheres, k: float, miss_penalty: float, far
     t1 = 0.5 * (-b + sq)
     t2 = 0.5 * (-b - sq)
     # Normalize the discriminant by the sphere scale so the penalty width
-    # is size-independent (disc carries units of length^2).
+    # is size-independent (disc carries units of length^2). The hard test
+    # requires t1 >= 0 AND t2 >= 0 (Sphere.cu:55-60), but t1 = t2 + sqrt(disc)
+    # >= t2, so penalizing t2 alone covers both conditions exactly.
     scale = 1.0 / jnp.maximum(spheres.radius, 1e-3)
     pen = miss_penalty * (
-        _penalty(disc * scale * scale, k) + _penalty(t1, k) + _penalty(t2, k)
+        _penalty(disc * scale * scale, k) + _penalty(t2, k)
     ) + jnp.where(spheres.active > 0.5, 0.0, _INACTIVE_PENALTY)
     t_clip = jnp.clip(t2, 0.0, far)
     p = origin + dirs[..., None, :] * t_clip[..., None]
