@@ -35,6 +35,7 @@ allclose vs jax.grad of the jnp path.
 from __future__ import annotations
 
 import functools
+import types
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +48,16 @@ from rtwc_tpu.render.reference import Framebuffer, _FLT_EPSILON
 from rtwc_tpu.render import pack as P
 from rtwc_tpu.render.pallas_kernel import _best_bw, _pow_int, _round_up
 
-# Output plane indices.
-SO_R, SO_G, SO_B, SO_DEPTH, SO_NX, SO_NY, SO_NZ, SO_ALPHA, SO_M, SO_S = range(10)
+# Output plane indices. Planes 10-13 exist only when config.shadows is on:
+# the soft light visibility at the blended hit point and its saved value-path
+# jacobian d(rgb)/d(vis) (the clamp-gated direct-light blend), which lets the
+# backward kernel form dL/dvis from the output cotangents without replaying
+# the object sweep twice.
+(SO_R, SO_G, SO_B, SO_DEPTH, SO_NX, SO_NY, SO_NZ, SO_ALPHA, SO_M, SO_S,
+ SO_VIS, SO_DVR, SO_DVG, SO_DVB) = range(14)
+N_PLANES, N_PLANES_SH = 10, 14
+# Per-occluder shadow transmittance floor (softmin.py parity; see its note).
+_TRANS_FLOOR = 1e-7
 # Camera-vector spare slots: live-object counts as f32, and the band's
 # first image row (tile-sharding: each device renders rows
 # [row0, row0 + band_height) of the full image, dist/mesh.py).
@@ -80,9 +89,13 @@ def _make_object_fns(config: RenderConfig, tau: float):
     def pen(x):
         return _softplus(-k * x) / k
 
-    def shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz):
+    def shade_parts(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz):
         # Blinn-Phong (RayTracing.cu:41-79 constants), softmin.py path:
         # view = -d (unit), light attenuates 1/d^2, ambient always on.
+        # Returns the ambient and direct parts per channel in the 0..255
+        # domain, so rgb_c = min(255, A_c + vis * B_c): the clamp is the
+        # only nonlinearity between the parts and the output, which is what
+        # lets the shadow path save d(rgb)/d(vis) as a plane.
         ldx, ldy, ldz = lx - px, ly - py, lz - pz
         d2 = ldx * ldx + ldy * ldy + ldz * ldz
         il = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
@@ -97,14 +110,21 @@ def _make_object_fns(config: RenderConfig, tau: float):
         spec_i = jnp.clip((nx * hx + ny * hy + nz * hz) * ih, 0.0, 1.0)
         sterm = _pow_int(spec_i, hard) * spow * inv_d2
 
-        def channel(col, ld_c, ls_c, os_c):
+        def parts(col, ld_c, ls_c, os_c):
             cd = col * (1.0 / 255.0)
-            s = amb * cd + dterm * ld_c * cd + sterm * ls_c * os_c
-            return jnp.minimum(255.0, s * 255.0)
+            return amb * cd * 255.0, (dterm * ld_c * cd + sterm * ls_c * os_c) * 255.0
 
-        return (channel(cr, ldc[0], lsc[0], osc[0]),
-                channel(cg, ldc[1], lsc[1], osc[1]),
-                channel(cb, ldc[2], lsc[2], osc[2]))
+        return (parts(cr, ldc[0], lsc[0], osc[0]),
+                parts(cg, ldc[1], lsc[1], osc[1]),
+                parts(cb, ldc[2], lsc[2], osc[2]))
+
+    def shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz, vis=None):
+        out = []
+        for a_c, b_c in shade_parts(cr, cg, cb, px, py, pz, nx, ny, nz,
+                                    dx, dy, dz):
+            direct = b_c if vis is None else vis * b_c
+            out.append(jnp.minimum(255.0, a_c + direct))
+        return tuple(out)
 
     def sphere_lb(scx, scy, scz, r, dx, dy, dz, ox, oy, oz):
         """Transcendental-free LOWER bound on the sphere's t_eff
@@ -139,7 +159,8 @@ def _make_object_fns(config: RenderConfig, tau: float):
             + jnp.maximum(jnp.abs(px - pcx) - hw, 0.0)
             + jnp.maximum(jnp.abs(pz - pcz) - hh, 0.0))
 
-    def sphere_f(scx, scy, scz, r, cr, cg, cb, dx, dy, dz, ox, oy, oz):
+    def sphere_geo(scx, scy, scz, r, dx, dy, dz, ox, oy, oz):
+        """(t_eff, t_clip, normal, hit point) - shading-free intersection."""
         ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
         b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -156,12 +177,10 @@ def _make_object_fns(config: RenderConfig, tau: float):
         pz = oz + dz * t_clip
         nxr, nyr, nzr = px - scx, py - scy, pz - scz
         inn = jax.lax.rsqrt(jnp.maximum(nxr * nxr + nyr * nyr + nzr * nzr, 1e-20))
-        nx, ny, nz = nxr * inn, nyr * inn, nzr * inn
-        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz)
-        return t_clip + p_, r_, g_, b_, t_clip, nx, ny, nz
+        return (t_clip + p_, t_clip,
+                nxr * inn, nyr * inn, nzr * inn, px, py, pz)
 
-    def plane_f(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, cr, cg, cb,
-                dx, dy, dz, ox, oy, oz):
+    def plane_geo(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, dx, dy, dz, ox, oy, oz):
         denom = dx * pnx + dy * pny + dz * pnz
         num = (pcx - ox) * pnx + (pcy - oy) * pny + (pcz - oz) * pnz
         eps = jnp.float32(_FLT_EPSILON)
@@ -177,10 +196,115 @@ def _make_object_fns(config: RenderConfig, tau: float):
         nx = pnx + 0.0 * dx   # broadcast to plane shape for uniform vjp
         ny = pny + 0.0 * dx
         nz = pnz + 0.0 * dx
-        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz)
-        return t_clip + p_, r_, g_, b_, t_clip, nx, ny, nz
+        return t_clip + p_, t_clip, nx, ny, nz, px, py, pz
 
-    return sphere_f, plane_f, sphere_lb, plane_lb
+    def sphere_f(scx, scy, scz, r, cr, cg, cb, dx, dy, dz, ox, oy, oz,
+                 vis=None):
+        t_eff, t_clip, nx, ny, nz, px, py, pz = sphere_geo(
+            scx, scy, scz, r, dx, dy, dz, ox, oy, oz)
+        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz, vis)
+        return t_eff, r_, g_, b_, t_clip, nx, ny, nz
+
+    def plane_f(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, cr, cg, cb,
+                dx, dy, dz, ox, oy, oz, vis=None):
+        t_eff, t_clip, nx, ny, nz, px, py, pz = plane_geo(
+            pcx, pcy, pcz, pnx, pny, pnz, hw, hh, dx, dy, dz, ox, oy, oz)
+        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz, vis)
+        return t_eff, r_, g_, b_, t_clip, nx, ny, nz
+
+    # Shadow occluder transmittances (softmin.py _soft_shadow_visibility
+    # parity): each hard shadow-ray reject branch is a sigmoid step, the
+    # any-occluder OR a product of per-occluder transmittances, evaluated at
+    # the softmin-blended hit point P. The light direction is recomputed
+    # from P *inside* each closure so jax.vjp reaches every P dependency.
+    ks = config.soft_shadow_k
+
+    def _light_ray(px, py, pz):
+        tlx, tly, tlz = lx - px, ly - py, lz - pz
+        d2 = tlx * tlx + tly * tly + tlz * tlz
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        inv = 1.0 / dist
+        sdx, sdy, sdz = tlx * inv, tly * inv, tlz * inv
+        # self-intersection offset (softmin.py uses 1e-2)
+        return (sdx, sdy, sdz, dist,
+                px + sdx * 1e-2, py + sdy * 1e-2, pz + sdz * 1e-2)
+
+    def shadow_sphere_f(scx, scy, scz, r, px, py, pz):
+        """Per-occluder transmittance 1 - block in [_TRANS_FLOOR, 1]."""
+        sdx, sdy, sdz, dist, sox, soy, soz = _light_ray(px, py, pz)
+        ocx, ocy, ocz = sox - scx, soy - scy, soz - scz
+        b = 2.0 * (sdx * ocx + sdy * ocy + sdz * ocz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * c
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t1 = 0.5 * (-b + sq)
+        t2 = 0.5 * (-b - sq)
+        scale = 1.0 / jnp.maximum(r, 1e-3)
+        sig = jax.nn.sigmoid
+        block = (sig(ks * disc * scale * scale)
+                 * sig(ks * t1) * sig(ks * t2) * sig(ks * (dist - t2)))
+        return jnp.maximum(1.0 - block, _TRANS_FLOOR)
+
+    def shadow_plane_f(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, px, py, pz):
+        sdx, sdy, sdz, dist, sox, soy, soz = _light_ray(px, py, pz)
+        denom = sdx * pnx + sdy * pny + sdz * pnz
+        num = (pcx - sox) * pnx + (pcy - soy) * pny + (pcz - soz) * pnz
+        eps = jnp.float32(_FLT_EPSILON)
+        safe = jnp.where(jnp.abs(denom) < eps, -eps, denom)
+        t = num / safe
+        ppx = sox + sdx * t
+        ppz = soz + sdz * t
+        sig = jax.nn.sigmoid
+        block = (sig(ks * (-denom - eps)) * sig(ks * t)
+                 * sig(ks * (hw - jnp.abs(ppx - pcx)))
+                 * sig(ks * (hh - jnp.abs(ppz - pcz)))
+                 * sig(ks * (dist - t)))
+        return jnp.maximum(1.0 - block, _TRANS_FLOOR)
+
+    # Sigmoid-free occlusion bounds for backward-pass culling:
+    # block <= sigmoid(ks * min_c(arg_c)), so an occluder whose min
+    # constraint arg stays below -16/ks everywhere in the tile has
+    # block < ~1e-7 -> transmittance ~1 and sub-ULP parameter cotangents;
+    # its (expensive) vjp replay is skipped.
+    def shadow_sphere_args(scx, scy, scz, r, px, py, pz):
+        sdx, sdy, sdz, dist, sox, soy, soz = _light_ray(px, py, pz)
+        ocx, ocy, ocz = sox - scx, soy - scy, soz - scz
+        b = 2.0 * (sdx * ocx + sdy * ocy + sdz * ocz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * c
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t1 = 0.5 * (-b + sq)
+        t2 = 0.5 * (-b - sq)
+        scale = 1.0 / jnp.maximum(r, 1e-3)
+        return jnp.minimum(
+            jnp.minimum(disc * scale * scale, dist - t2),
+            jnp.minimum(t1, t2))
+
+    def shadow_plane_args(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, px, py, pz):
+        sdx, sdy, sdz, dist, sox, soy, soz = _light_ray(px, py, pz)
+        denom = sdx * pnx + sdy * pny + sdz * pnz
+        num = (pcx - sox) * pnx + (pcy - soy) * pny + (pcz - soz) * pnz
+        eps = jnp.float32(_FLT_EPSILON)
+        safe = jnp.where(jnp.abs(denom) < eps, -eps, denom)
+        t = num / safe
+        ppx = sox + sdx * t
+        ppz = soz + sdz * t
+        return jnp.minimum(
+            jnp.minimum(-denom - eps, t),
+            jnp.minimum(jnp.minimum(hw - jnp.abs(ppx - pcx),
+                                    hh - jnp.abs(ppz - pcz)),
+                        dist - t))
+
+    return types.SimpleNamespace(
+        sphere_f=sphere_f, plane_f=plane_f,
+        sphere_lb=sphere_lb, plane_lb=plane_lb,
+        sphere_geo=sphere_geo, plane_geo=plane_geo,
+        shade_parts=shade_parts,
+        shadow_sphere_f=shadow_sphere_f, shadow_plane_f=shadow_plane_f,
+        shadow_sphere_args=shadow_sphere_args,
+        shadow_plane_args=shadow_plane_args,
+        shadow_ks=ks,
+    )
 
 
 def _make_raygen(config: RenderConfig, bh: int, bw: int):
@@ -213,7 +337,9 @@ _CULL_LOG_EPS = -16.0  # max relative softmin weight exp(-16) ~ 1e-7: sub-ULP in
 def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                    cull: bool,
                    cam_ref, sph_ref, pl_ref, out_ref):
-    sphere_f, plane_f, sphere_lb, plane_lb = _make_object_fns(config, tau)
+    fns = _make_object_fns(config, tau)
+    sphere_f, plane_f = fns.sphere_f, fns.plane_f
+    sphere_lb, plane_lb = fns.sphere_lb, fns.plane_lb
     raygen = _make_raygen(config, bh, bw)
     i, j = pl.program_id(0), pl.program_id(1)
 
@@ -314,7 +440,9 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                    cam_ref, sph_ref, pl_ref, sav_ref, g_ref,
                    dsph_ref, dpl_ref, dcam_ref):
-    sphere_f, plane_f, sphere_lb, plane_lb = _make_object_fns(config, tau)
+    fns = _make_object_fns(config, tau)
+    sphere_f, plane_f = fns.sphere_f, fns.plane_f
+    sphere_lb, plane_lb = fns.sphere_lb, fns.plane_lb
     raygen = _make_raygen(config, bh, bw)
     i, j = pl.program_id(0), pl.program_id(1)
     NS = sph_ref.shape[1]
@@ -458,6 +586,381 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         dcam_ref[0, 3 + idx] += gval
 
 
+def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
+                      cam_ref, sph_ref, pl_ref, sav_ref, g_ref,
+                      dsph_ref, dpl_ref, dcam_ref):
+    """Shadowed backward. Three gradient paths compose:
+
+      1. value path through vis:  dL/dvis = sum_c g_rgb_c * saved dvis_c
+         (the forward saved the clamp-gated direct-light blend);
+      2. the shadow sweep's vjp at P = o + d*D turns dL/dvis into occluder
+         geometry grads, camera grads (through o and d), and a cotangent on
+         the blended depth ct_D = ctP . d (the product-rule term
+         d vis/d f_j = vis / f_j is exact for the floored transmittances);
+      3. the ordinary closed-form softmax vjp over objects, with the depth
+         cotangent upgraded to g_depth + ct_D and per-object values
+         rgb_k = min(255, A_k + vis * B_k) (vis closed over as a constant -
+         its cotangent is path 1, counting it here would double it)."""
+    fns = _make_object_fns(config, tau)
+    raygen = _make_raygen(config, bh, bw)
+    i, j = pl.program_id(0), pl.program_id(1)
+    NS = sph_ref.shape[1]
+    NP = pl_ref.shape[1]
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _init():
+        dsph_ref[...] = jnp.zeros(dsph_ref.shape, dsph_ref.dtype)
+        dpl_ref[...] = jnp.zeros(dpl_ref.shape, dpl_ref.dtype)
+        for idx in range(P.CAM_LEN):
+            dcam_ref[0, idx] = 0.0
+
+    ox, oy, oz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    cam9 = tuple(cam_ref[0, idx] for idx in range(3, 12))
+    row0 = cam_ref[0, C_ROW0]
+    (dx, dy, dz), raygen_vjp = jax.vjp(
+        lambda *c: raygen(i, j, row0, *c), *cam9)
+
+    inv_tau = jnp.float32(1.0 / tau)
+    bg_logit = jnp.float32(-config.far / tau)
+    ks = fns.shadow_ks
+    m = sav_ref[SO_M]
+    s = sav_ref[SO_S]
+    inv_s = 1.0 / s
+    vis = sav_ref[SO_VIS]
+    out_rgb = (sav_ref[SO_R], sav_ref[SO_G], sav_ref[SO_B])
+    out_depth = sav_ref[SO_DEPTH]
+    out_norm = (sav_ref[SO_NX], sav_ref[SO_NY], sav_ref[SO_NZ])
+    g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
+    g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
+    g_alpha = g_ref[SO_ALPHA]
+
+    # Path 1: dL/dvis from the saved value-path jacobian planes.
+    g_vis = (g_rgb[0] * sav_ref[SO_DVR] + g_rgb[1] * sav_ref[SO_DVG]
+             + g_rgb[2] * sav_ref[SO_DVB])
+
+    # Path 2: shadow-sweep vjp at the blended hit point.
+    D = out_depth
+    px_b = ox + dx * D
+    py_b = oy + dy * D
+    pz_b = oz + dz * D
+    rel_floor = -16.0 / ks  # block < ~1e-7 below this constraint margin
+
+    n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
+    n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
+    sph_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NS), 1)
+    pl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+    zero = jnp.zeros((bh, bw), jnp.float32)
+
+    def sh_sphere_body(k, carry):
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+        rel = jnp.max(fns.shadow_sphere_args(*geo, px_b, py_b, pz_b)) > rel_floor
+
+        def heavy(c):
+            ctx, cty, ctz, dsph, dpl = c
+            f_j, fvjp = jax.vjp(fns.shadow_sphere_f, *geo, px_b, py_b, pz_b)
+            grads = fvjp(g_vis * vis / f_j)
+            onehot = (sph_iota == k).astype(jnp.float32)
+            dsph = tuple(
+                (acc + onehot * grads[row]) if row < 4 else acc
+                for row, acc in enumerate(dsph)
+            )
+            return (ctx + grads[4], cty + grads[5], ctz + grads[6], dsph, dpl)
+
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    def sh_plane_body(k, carry):
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+        rel = jnp.max(fns.shadow_plane_args(*geo, px_b, py_b, pz_b)) > rel_floor
+
+        def heavy(c):
+            ctx, cty, ctz, dsph, dpl = c
+            f_j, fvjp = jax.vjp(fns.shadow_plane_f, *geo, px_b, py_b, pz_b)
+            grads = fvjp(g_vis * vis / f_j)
+            onehot = (pl_iota == k).astype(jnp.float32)
+            dpl = tuple(
+                (acc + onehot * grads[row]) if row < 8 else acc
+                for row, acc in enumerate(dpl)
+            )
+            return (ctx + grads[8], cty + grads[9], ctz + grads[10], dsph, dpl)
+
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    sh_carry = (zero, zero, zero,
+                tuple(jnp.zeros((1, NS), jnp.float32) for _ in range(P.SPH_ROWS)),
+                tuple(jnp.zeros((1, NP), jnp.float32) for _ in range(P.PL_ROWS)))
+    sh_carry = jax.lax.fori_loop(0, n_sph, sh_sphere_body, sh_carry)
+    ct_px, ct_py, ct_pz, dsph0, dpl0 = jax.lax.fori_loop(
+        0, n_pl, sh_plane_body, sh_carry)
+
+    ct_d = ct_px * dx + ct_py * dy + ct_pz * dz
+    g_depth = g_ref[SO_DEPTH] + ct_d  # blended depth feeds the shadow point
+
+    # Path 3: closed-form softmax vjp (g_depth now carries the shadow term).
+    w_bg = jnp.exp(bg_logit - m) * inv_s
+    S = (g_rgb[0] * out_rgb[0] + g_rgb[1] * out_rgb[1] + g_rgb[2] * out_rgb[2]
+         + g_depth * out_depth
+         + g_norm[0] * out_norm[0] + g_norm[1] * out_norm[1]
+         + g_norm[2] * out_norm[2]
+         - g_alpha * w_bg)
+
+    def cotangents(vals):
+        t_eff, r_, g_, b_, t_clip, nx, ny, nz = vals
+        w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+        gdotv = (g_rgb[0] * r_ + g_rgb[1] * g_ + g_rgb[2] * b_
+                 + g_depth * t_clip
+                 + g_norm[0] * nx + g_norm[1] * ny + g_norm[2] * nz)
+        dlogit = w * (gdotv - S)
+        ct_teff = -dlogit * inv_tau
+        return (ct_teff, w * g_rgb[0], w * g_rgb[1], w * g_rgb[2],
+                w * g_depth, w * g_norm[0], w * g_norm[1], w * g_norm[2])
+
+    def sphere_body(k, carry):
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+        lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+
+        def heavy(c):
+            gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
+            args = (*geo,
+                    sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+            vals, fvjp = jax.vjp(
+                lambda *a: fns.sphere_f(*a, vis=vis), *args)
+            grads = fvjp(cotangents(vals))
+            onehot = (sph_iota == k).astype(jnp.float32)
+            dsph = tuple(
+                (acc + onehot * grads[row]) if row < 7 else acc
+                for row, acc in enumerate(dsph)
+            )
+            return (gdx + grads[7], gdy + grads[8], gdz + grads[9],
+                    gox + grads[10], goy + grads[11], goz + grads[12],
+                    dsph, dpl)
+
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    def plane_body(k, carry):
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+        lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+
+        def heavy(c):
+            gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
+            args = (*geo,
+                    pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+            vals, fvjp = jax.vjp(
+                lambda *a: fns.plane_f(*a, vis=vis), *args)
+            grads = fvjp(cotangents(vals))
+            onehot = (pl_iota == k).astype(jnp.float32)
+            dpl = tuple(
+                (acc + onehot * grads[row]) if row < 11 else acc
+                for row, acc in enumerate(dpl)
+            )
+            return (gdx + grads[11], gdy + grads[12], gdz + grads[13],
+                    gox + grads[14], goy + grads[15], goz + grads[16],
+                    dsph, dpl)
+
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    # Seed the main sweep with the shadow sweep's results: d cotangent
+    # ctP * D (P = o + d*D), origin cotangent ctP itself.
+    carry = (ct_px * D, ct_py * D, ct_pz * D,
+             jnp.sum(ct_px), jnp.sum(ct_py), jnp.sum(ct_pz),
+             dsph0, dpl0)
+    carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, n_pl, plane_body, carry)
+    gdx, gdy, gdz, gox, goy, goz, dsph_rows, dpl_rows = carry
+
+    dsph_ref[...] += jnp.concatenate(dsph_rows, axis=0)
+    dpl_ref[...] += jnp.concatenate(dpl_rows, axis=0)
+
+    cam_grads = raygen_vjp((gdx, gdy, gdz))
+    dcam_ref[0, 0] += gox
+    dcam_ref[0, 1] += goy
+    dcam_ref[0, 2] += goz
+    for idx, gval in enumerate(cam_grads):
+        dcam_ref[0, 3 + idx] += gval
+
+
+def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
+                      cull: bool,
+                      cam_ref, sph_ref, pl_ref, out_ref):
+    """Shadowed forward: three object sweeps instead of one.
+
+    rgb_k = min(255, A_k + vis * B_k) couples every object's color to the
+    light visibility at the *blended* hit point (softmin.py trace_soft
+    semantics), and vis needs the blended depth - so the color blend cannot
+    be computed online in the same sweep that discovers the softmin weights.
+    Sweep 1 runs the online softmin over t_eff accumulating depth + normal;
+    the shadow sweep multiplies per-occluder transmittances at
+    P = o + d * depth; sweep 2 re-walks the objects with the now-final
+    (m, s) statistics, blending clamped shaded colors and the saved
+    d(rgb)/d(vis) planes for the backward kernel."""
+    fns = _make_object_fns(config, tau)
+    raygen = _make_raygen(config, bh, bw)
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    ox, oy, oz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    cam9 = tuple(cam_ref[0, idx] for idx in range(3, 12))
+    row0 = cam_ref[0, C_ROW0]
+    dx, dy, dz = raygen(i, j, row0, *cam9)
+
+    inv_tau = jnp.float32(1.0 / tau)
+    bg_logit = jnp.float32(-config.far / tau)
+    n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
+    n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
+
+    # ---- sweep 1: online softmin over t_eff; accumulate depth + normal.
+    m = jnp.full((bh, bw), bg_logit, jnp.float32)
+    s = jnp.ones((bh, bw), jnp.float32)
+    acc = (jnp.full((bh, bw), jnp.float32(config.far)),) + (
+        jnp.zeros((bh, bw), jnp.float32),) * 3
+
+    def accumulate(state, t_eff, values):
+        m, s, acc = state
+        logit = -t_eff * inv_tau
+        m_new = jnp.maximum(m, logit)
+        e = jnp.exp(-jnp.abs(logit - m))
+        up = logit > m
+        alpha_ = jnp.where(up, e, 1.0)
+        p = jnp.where(up, 1.0, e)
+        s = s * alpha_ + p
+        acc = tuple(a * alpha_ + p * vi for a, vi in zip(acc, values))
+        return m_new, s, acc
+
+    def sphere_geo_body(k, state):
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+
+        def heavy(st):
+            t_eff, t_clip, nx, ny, nz, _, _, _ = fns.sphere_geo(
+                *geo, dx, dy, dz, ox, oy, oz)
+            return accumulate(st, t_eff, (t_clip, nx, ny, nz))
+
+        if not cull:
+            return heavy(state)
+        lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        return jax.lax.cond(rel, heavy, lambda st: st, state)
+
+    def plane_geo_body(k, state):
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+
+        def heavy(st):
+            t_eff, t_clip, nx, ny, nz, _, _, _ = fns.plane_geo(
+                *geo, dx, dy, dz, ox, oy, oz)
+            return accumulate(st, t_eff, (t_clip, nx, ny, nz))
+
+        if not cull:
+            return heavy(state)
+        lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        return jax.lax.cond(rel, heavy, lambda st: st, state)
+
+    state = (m, s, acc)
+    state = jax.lax.fori_loop(0, n_sph, sphere_geo_body, state)
+    m, s, acc = jax.lax.fori_loop(0, n_pl, plane_geo_body, state)
+    inv_s = 1.0 / s
+    depth = acc[0] * inv_s
+
+    # ---- shadow sweep at the blended hit point.
+    px_b = ox + dx * depth
+    py_b = oy + dy * depth
+    pz_b = oz + dz * depth
+
+    def sh_sphere_body(k, vis):
+        return vis * fns.shadow_sphere_f(
+            sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+            sph_ref[P.S_R, k], px_b, py_b, pz_b)
+
+    def sh_plane_body(k, vis):
+        return vis * fns.shadow_plane_f(
+            pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+            pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+            pl_ref[P.P_HW, k], pl_ref[P.P_HH, k], px_b, py_b, pz_b)
+
+    vis = jnp.ones((bh, bw), jnp.float32)
+    vis = jax.lax.fori_loop(0, n_sph, sh_sphere_body, vis)
+    vis = jax.lax.fori_loop(0, n_pl, sh_plane_body, vis)
+
+    # ---- sweep 2: clamped shaded-color blend with the final (m, s).
+    zero = jnp.zeros((bh, bw), jnp.float32)
+    rgb_dv = (zero,) * 6  # (r, g, b, dvis_r, dvis_g, dvis_b)
+
+    def shade_accumulate(carry, t_eff, col, point, normal):
+        w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+        parts = fns.shade_parts(*col, *point, *normal, dx, dy, dz)
+        out = []
+        for c in range(3):
+            a_c, b_c = parts[c]
+            val = a_c + vis * b_c
+            gate = (val < 255.0).astype(jnp.float32)
+            out.append(carry[c] + w * jnp.minimum(255.0, val))
+            out.append(carry[3 + c] + w * b_c * gate)
+        return (out[0], out[2], out[4], out[1], out[3], out[5])
+
+    def sphere_col_body(k, carry):
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+
+        def heavy(c):
+            t_eff, _, nx, ny, nz, hx, hy, hz = fns.sphere_geo(
+                *geo, dx, dy, dz, ox, oy, oz)
+            col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
+            return shade_accumulate(c, t_eff, col, (hx, hy, hz), (nx, ny, nz))
+
+        if not cull:
+            return heavy(carry)
+        lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS  # final m: exact
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    def plane_col_body(k, carry):
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+
+        def heavy(c):
+            t_eff, _, nx, ny, nz, hx, hy, hz = fns.plane_geo(
+                *geo, dx, dy, dz, ox, oy, oz)
+            col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
+            return shade_accumulate(c, t_eff, col, (hx, hy, hz), (nx, ny, nz))
+
+        if not cull:
+            return heavy(carry)
+        lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    rgb_dv = jax.lax.fori_loop(0, n_sph, sphere_col_body, rgb_dv)
+    rgb_dv = jax.lax.fori_loop(0, n_pl, plane_col_body, rgb_dv)
+
+    out_ref[SO_R] = rgb_dv[0]
+    out_ref[SO_G] = rgb_dv[1]
+    out_ref[SO_B] = rgb_dv[2]
+    out_ref[SO_DEPTH] = depth
+    out_ref[SO_NX] = acc[1] * inv_s
+    out_ref[SO_NY] = acc[2] * inv_s
+    out_ref[SO_NZ] = acc[3] * inv_s
+    out_ref[SO_ALPHA] = 1.0 - jnp.exp(bg_logit - m) * inv_s
+    out_ref[SO_M] = m
+    out_ref[SO_S] = s
+    out_ref[SO_VIS] = vis
+    out_ref[SO_DVR] = rgb_dv[3]
+    out_ref[SO_DVG] = rgb_dv[4]
+    out_ref[SO_DVB] = rgb_dv[5]
+
+
 @functools.lru_cache(maxsize=32)
 def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                        interpret: bool, band_h: int | None = None,
@@ -470,9 +973,14 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
     Hp = _round_up(band_h if band_h is not None else config.height, bh)
     Wp = _round_up(config.width, bw)
     grid = (Hp // bh, Wp // bw)
+    # config.shadows selects the shadowed kernel pair and widens the saved
+    # statistics from 10 to 14 planes (vis + d(rgb)/d(vis)).
+    n_out = N_PLANES_SH if config.shadows else N_PLANES
+    fwd_body = _soft_sh_fwd_body if config.shadows else _soft_fwd_body
+    bwd_body = _soft_sh_bwd_body if config.shadows else _soft_bwd_body
 
     def fwd_call(sph, pl_, cam):
-        kernel = functools.partial(_soft_fwd_body, config, tau, bh, bw, fwd_cull)
+        kernel = functools.partial(fwd_body, config, tau, bh, bw, fwd_cull)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -481,14 +989,14 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((10, bh, bw), lambda i, j: (0, i, j),
+            out_specs=pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((10, Hp, Wp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_out, Hp, Wp), jnp.float32),
             interpret=interpret,
         )(cam, sph, pl_)
 
     def bwd_call(sph, pl_, cam, sav, g):
-        kernel = functools.partial(_soft_bwd_body, config, tau, bh, bw)
+        kernel = functools.partial(bwd_body, config, tau, bh, bw)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -496,9 +1004,9 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((10, bh, bw), lambda i, j: (0, i, j),
+                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((10, bh, bw), lambda i, j: (0, i, j),
+                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

@@ -38,6 +38,7 @@ from rtwc_tpu.render.reference import (
 from rtwc_tpu.scene import Scene
 
 _INACTIVE_PENALTY = 1e7  # depth units; removes dead pool slots outright
+_TRANS_FLOOR = 1e-7  # per-occluder shadow transmittance floor (see below)
 
 
 def _penalty(x: jax.Array, k: float) -> jax.Array:
@@ -143,6 +144,12 @@ def _soft_shadow_visibility(scene: Scene, point, config: RenderConfig):
     )
 
     trans = jnp.concatenate([1.0 - block_s, 1.0 - block_p], axis=-1)
+    # Transmittance floor: a fully saturated sigmoid product hits exactly
+    # 1.0f and would make the per-occluder product gradient 0/0 in the
+    # fused kernel's closed-form (vis / trans_j) replay. Flooring at 1e-7
+    # changes vis by < 1e-7 per occluder (invisible at 0..255 color scale)
+    # and keeps the jnp path and render/pallas_soft.py bit-comparable.
+    trans = jnp.maximum(trans, _TRANS_FLOOR)
     return jnp.prod(trans, axis=-1)
 
 

@@ -107,6 +107,86 @@ def test_grads_finite():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+CFG_SH = CFG.replace(shadows=True)
+
+
+def _scene_shadowed():
+    """Occluder sphere between the light (above, at y=50) and the others."""
+    s = _scene()
+    return add_sphere(s, 3.0, (-2.0, 8.0, 22.0), (40.0, 40.0, 200.0), speed=1.0)
+
+
+def test_shadow_forward_matches_jnp_soft():
+    scene, cam = _scene_shadowed(), default_camera()
+    fb_ref = render_frame_soft(scene, cam, CFG_SH, tau=TAU)
+    fb_pal = render_frame_soft_pallas(scene, cam, CFG_SH, tau=TAU)
+    np.testing.assert_allclose(np.asarray(fb_pal.rgb), np.asarray(fb_ref.rgb),
+                               atol=2e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fb_pal.depth), np.asarray(fb_ref.depth),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fb_pal.normal), np.asarray(fb_ref.normal),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_shadow_darkens():
+    """The occluder must actually cast a shadow (vis < 1 somewhere)."""
+    scene, cam = _scene_shadowed(), default_camera()
+    lit = render_frame_soft_pallas(scene, cam, CFG, tau=TAU)
+    sh = render_frame_soft_pallas(scene, cam, CFG_SH, tau=TAU)
+    dark = np.asarray(jnp.sum(lit.rgb - sh.rgb, axis=-1))
+    assert dark.max() > 20.0, "no pixel lost direct light under the occluder"
+    assert dark.min() > -1e-3, "shadows must only remove light"
+
+
+def test_shadow_grads_match_jnp():
+    scene = _scene_shadowed()
+    cam = Camera(pos=jnp.asarray(default_camera().pos),
+                 rot=jnp.asarray(default_camera().rot))
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+
+    def mk(render):
+        def loss(sc, c):
+            fb = render(sc, c, CFG_SH, tau=TAU)
+            return (jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+                    + 0.01 * jnp.mean(fb.depth) / CFG.far
+                    + 0.1 * jnp.mean(fb.normal ** 2))
+        return loss
+
+    gj = jax.grad(mk(render_frame_soft), argnums=(0, 1))(scene, cam)
+    gp = jax.grad(mk(render_frame_soft_pallas), argnums=(0, 1))(scene, cam)
+    # atol 5e-6: the shadow chain adds cancellation-prone f32 sums whose
+    # near-zero components carry ~2e-6 path-order noise (real components
+    # sit at 1e-2..1e-1 and are held to the 2% rtol).
+    kw = dict(atol=5e-6)
+    _assert_close_tree(gj[0].spheres.center, gp[0].spheres.center, what="sphere centers", **kw)
+    _assert_close_tree(gj[0].spheres.radius, gp[0].spheres.radius, what="sphere radii", **kw)
+    _assert_close_tree(gj[0].spheres.color, gp[0].spheres.color, what="sphere colors", **kw)
+    _assert_close_tree(gj[0].planes.center, gp[0].planes.center, what="plane centers", **kw)
+    _assert_close_tree(gj[0].planes.normal, gp[0].planes.normal, what="plane normals", **kw)
+    _assert_close_tree(gj[1].pos, gp[1].pos, what="camera pos", **kw)
+    _assert_close_tree(gj[1].rot, gp[1].rot, what="camera rot", **kw)
+
+
+def test_shadow_occluder_gets_grad_through_shadow_only():
+    """An occluder OUTSIDE the view frustum still receives gradients via
+    the shadow term alone - the capability the hard renderer cannot have."""
+    s = empty_scene(CFG.max_spheres, CFG.max_planes)
+    s = add_sphere(s, 5.0, (0.0, 1.0, 20.0), (200.0, 40.0, 40.0), speed=1.0)
+    # far above the camera frustum, grazing the segments from the sphere's
+    # hit points to the light at (1, 50, 0)
+    s = add_sphere(s, 4.0, (3.5, 26.0, 10.0), (40.0, 40.0, 200.0), speed=1.0)
+    cam = default_camera()
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+
+    def loss(sc):
+        fb = render_frame_soft_pallas(sc, cam, CFG_SH, tau=TAU)
+        return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+
+    g = jax.grad(loss)(s)
+    g_occ = np.asarray(g.spheres.center)[1]
+    assert np.abs(g_occ).max() > 0.0, "occluder grads must flow through vis"
+
+
 def test_inactive_slots_zero_grad():
     scene, cam = _scene(), default_camera()
     _, loss_p = _loss_pair()
