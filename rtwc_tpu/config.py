@@ -127,6 +127,9 @@ class EngineConfig:
     show_fps: bool = True
     # Print-thread max rate; the reference prints as fast as fwrite allows.
     max_print_fps: float = 0.0  # 0 = uncapped
+    # Terminal mouse-look (xterm SGR any-motion tracking), the parity for
+    # the reference's GetCursorPos camera rotation (Engine3D.cpp:200-239).
+    mouse: bool = True
     seed: int = 0
 
 

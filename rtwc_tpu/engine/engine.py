@@ -81,7 +81,7 @@ class Engine:
             max_print_fps=self.ecfg.max_print_fps,
         )
         self.input = input_handler if input_handler is not None else (
-            InputHandler() if interactive else None
+            InputHandler(mouse=self.ecfg.mouse) if interactive else None
         )
         self.timer = Timer()
         self.telemetry = Telemetry(

@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-spheres", type=int, default=256)
     p.add_argument("--no-spawn", action="store_true", help="disable the 1 Hz random sphere spawn")
     p.add_argument("--no-fps", action="store_true")
+    p.add_argument("--no-mouse", action="store_true",
+                   help="disable terminal mouse-look (arrow keys still work)")
     p.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = run until quit)")
     p.add_argument("--scene", type=str, default="", help="load a saved .npz scene")
     p.add_argument("--save-scene", type=str, default="",
@@ -70,6 +72,7 @@ def main(argv=None) -> int:
     ecfg = EngineConfig(
         spawn=not args.no_spawn,
         show_fps=not args.no_fps,
+        mouse=not args.no_mouse,
         seed=args.seed,
         max_print_fps=args.max_print_fps,
     )

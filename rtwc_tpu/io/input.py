@@ -1,17 +1,25 @@
-"""Non-blocking POSIX keyboard input.
+"""Non-blocking POSIX keyboard + mouse input.
 
 Replaces Engine3D::CheckKeyboard's Win32 GetKeyState/GetCursorPos polling
 (Engine3D.cpp:110-240). A terminal delivers key *events* (with autorepeat),
 not key *state*, so held keys are emulated: each WASD/space/'c' event arms
 its key for `hold_s` seconds (tuned to typical autorepeat) and the engine
-reads a PressedKeys-style snapshot every frame. Mouse look becomes arrow
-keys / hjkl (terminal mouse reporting is intentionally out of scope).
+reads a PressedKeys-style snapshot every frame.
 
-Bindings (reference parity, Engine3D.cpp:113-197):
+Mouse look (reference parity with Engine3D.cpp:200-239's GetCursorPos
+deltas): xterm any-motion mouse tracking in SGR encoding (DECSET 1003 +
+1006) is enabled on start and parsed from stdin; deltas between successive
+reported cell positions are scaled to "screen pixel" units (cells are
+~10x20 px) so the reference's per-pixel mouse sensitivity (0.002 rad,
+Camera3D.cpp:168) applies unchanged. Arrow keys / the terminal without
+mouse support keep working as a fallback look control.
+
+Bindings (reference parity, Engine3D.cpp:113-239):
   w/a/s/d   move            (GetKeyState W/A/S/D)
   space     up, c           down (VK_SPACE / VK_SHIFT - shift state is not
                              readable on a tty, 'c' stands in)
-  arrows    look            (mouse deltas -> AddRot)
+  mouse     look            (GetCursorPos deltas -> AddRot)
+  arrows    look            (keyboard fallback)
   1..5 / F1..F5             rendering mode switch
   q / Esc   quit            (VK_ESCAPE)
 """
@@ -19,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import select
 import sys
 import time
@@ -47,6 +56,18 @@ _ARROW_ROT = {  # (pitch_delta, yaw_delta) in "mouse pixel" units
     "[C": (0.0, -40.0),
     "[D": (0.0, 40.0),
 }
+# SGR mouse report: ESC [ < b ; x ; y (M = press/motion, m = release).
+_SGR_MOUSE = re.compile(r"\[<(\d+);(\d+);(\d+)([Mm])")
+# Any other CSI (ESC [ params final) / SS3 (ESC O final) sequence: consumed
+# and ignored so stray reports never alias to the bare-Esc quit.
+_OTHER_SEQ = re.compile(r"\[[0-9;<=>?]*[@-~]|O[@-~]")
+
+# Approximate terminal cell size in screen pixels: converts mouse-report
+# cell deltas into the reference's per-pixel rotation units.
+_CELL_PX_X, _CELL_PX_Y = 10.0, 20.0
+
+_MOUSE_ENABLE = b"\x1b[?1003h\x1b[?1006h"
+_MOUSE_DISABLE = b"\x1b[?1003l\x1b[?1006l"
 
 
 @dataclasses.dataclass
@@ -58,14 +79,18 @@ class InputState:
 
 
 class InputHandler:
-    """cbreak-mode stdin poller; restores termios on cleanup."""
+    """cbreak-mode stdin poller; restores termios + mouse mode on cleanup."""
 
-    def __init__(self, stream=None, hold_s: float = 0.25):
+    def __init__(self, stream=None, hold_s: float = 0.25, mouse: bool = True):
         self._stream = stream if stream is not None else sys.stdin
         self._hold_s = hold_s
+        self._mouse = mouse
         self._held: dict[str, float] = {}
         self._old_attrs = None
         self._fd = None
+        self._carry = ""  # partial escape sequence split across reads
+        self._mouse_pos: tuple[int, int] | None = None
+        self._mouse_enabled = False
 
     def start(self) -> None:
         try:
@@ -76,15 +101,33 @@ class InputHandler:
             if os.isatty(self._fd):
                 self._old_attrs = termios.tcgetattr(self._fd)
                 tty.setcbreak(self._fd)
+                if self._mouse and self._tty_write(_MOUSE_ENABLE):
+                    self._mouse_enabled = True
         except Exception:
             self._fd = None
 
     def cleanup(self) -> None:
+        if self._mouse_enabled:
+            self._tty_write(_MOUSE_DISABLE)
+            self._mouse_enabled = False
         if self._old_attrs is not None and self._fd is not None:
             import termios
 
             termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old_attrs)
             self._old_attrs = None
+
+    def _tty_write(self, data: bytes) -> bool:
+        """Write a control sequence to the terminal (stdin is typically
+        opened read/write on a tty; fall back to stdout)."""
+        for fd in (self._fd, 1):
+            if fd is None:
+                continue
+            try:
+                os.write(fd, data)
+                return True
+            except OSError:
+                continue
+        return False
 
     def _read_pending(self) -> str:
         if self._fd is None:
@@ -92,7 +135,7 @@ class InputHandler:
         chunks = []
         try:
             while select.select([self._fd], [], [], 0)[0]:
-                data = os.read(self._fd, 64)
+                data = os.read(self._fd, 1024)
                 if not data:
                     break
                 chunks.append(data.decode(errors="ignore"))
@@ -102,7 +145,8 @@ class InputHandler:
 
     def poll(self) -> InputState:
         now = time.monotonic()
-        buf = self._read_pending()
+        buf = self._carry + self._read_pending()
+        self._carry = ""
         rot = [0.0, 0.0]
         mode = None
         quit_ = False
@@ -111,20 +155,44 @@ class InputHandler:
         while i < len(buf):
             ch = buf[i]
             if ch == "\x1b":
+                rest = buf[i + 1:]
                 matched = False
-                for seq, m in _MODE_BY_FKEY.items():
-                    if buf.startswith(seq, i + 1):
-                        mode, i, matched = m, i + 1 + len(seq), True
+                for seq, m_ in _MODE_BY_FKEY.items():
+                    if rest.startswith(seq):
+                        mode, i, matched = m_, i + 1 + len(seq), True
                         break
                 if not matched:
                     for seq, (dp, dy) in _ARROW_ROT.items():
-                        if buf.startswith(seq, i + 1):
+                        if rest.startswith(seq):
                             rot[0] += dp
                             rot[1] += dy
                             i += 1 + len(seq)
                             matched = True
                             break
                 if not matched:
+                    m = _SGR_MOUSE.match(rest)
+                    if m:
+                        x, y = int(m.group(2)), int(m.group(3))
+                        if self._mouse_pos is not None:
+                            px, py = self._mouse_pos
+                            # up/left motion = positive pitch/yaw, matching
+                            # the arrow-key units above.
+                            rot[0] += (py - y) * _CELL_PX_Y
+                            rot[1] += (px - x) * _CELL_PX_X
+                        self._mouse_pos = (x, y)
+                        i += 1 + m.end()
+                        matched = True
+                if not matched:
+                    m = _OTHER_SEQ.match(rest)
+                    if m:
+                        # unknown CSI/SS3: swallow, never treat as quit
+                        i += 1 + m.end()
+                        matched = True
+                if not matched:
+                    if rest and rest[0] in "[O" and len(rest) < 16:
+                        # sequence split across reads: finish it next poll
+                        self._carry = buf[i:]
+                        break
                     # bare escape = quit (VK_ESCAPE, Engine3D.cpp:172-175)
                     quit_ = True
                     i += 1
