@@ -116,7 +116,8 @@ def main() -> None:
     # Secondary numbers (not the headline JSON): jnp fwd+bwd band renderer
     # and the pure forward Pallas kernel.
     jnp_dt = time_it(build_fwd_bwd_step_jnp(cfg), (scene, camera), target)
-    fwd_dt = time_it(lambda: render_frame_pallas(scene, camera, cfg).rgb)
+    fwd_fn = jax.jit(lambda s, c: render_frame_pallas(s, c, cfg).rgb)
+    fwd_dt = time_it(fwd_fn, scene, camera)
     import sys
 
     print(

@@ -121,6 +121,36 @@ def test_sharded_pallas_backend_matches_jnp():
                                rtol=2e-2, atol=1e-9)
 
 
+def test_sharded_pallas_backend_matches_jnp_shadowed():
+    """Same as above with the differentiable shadow term on: the shadow
+    visibility is evaluated at each ray's blended hit point, so a band
+    renders it locally without cross-band exchange - occluder gradients
+    must still pmean to the single-program values."""
+    import optax
+
+    mesh = make_mesh(4)
+    cfg = CFG.replace(soft_miss_penalty=300.0, soft_mask_k=10.0, shadows=True)
+    scene, cam = default_scene(cfg), default_camera()
+    target = render_frame_soft(scene, cam, cfg, tau=0.5).rgb + 10.0
+
+    def one_sgd_step(backend):
+        step = make_sharded_train_step(cfg, mesh, tau=0.5,
+                                       optimizer=optax.sgd(1.0), backend=backend)
+        params = (scene, cam)
+        (new_scene, _), _, loss = step(params, step.init(params), target)
+        grads = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                             scene, new_scene)
+        return float(loss), grads
+
+    loss_j, g_j = one_sgd_step("jnp")
+    loss_p, g_p = one_sgd_step("pallas")
+    assert abs(loss_j - loss_p) < 1e-6 * max(1.0, abs(loss_j))
+    np.testing.assert_allclose(g_p.spheres.center, g_j.spheres.center,
+                               rtol=2e-2, atol=1e-6)
+    np.testing.assert_allclose(g_p.spheres.color, g_j.spheres.color,
+                               rtol=2e-2, atol=1e-9)
+
+
 def test_sharded_grads_match_single_device():
     import functools
 

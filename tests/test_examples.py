@@ -1,0 +1,29 @@
+"""The example scripts must actually converge (CI-sized configurations).
+
+These are the BASELINE config-3 acceptance paths: inverse rendering through
+the fused Pallas fwd+bwd kernels, including the shadow-only recovery of an
+out-of-frustum occluder.
+"""
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_fit_from_shadow_converges():
+    from examples.fit_from_shadow import main
+
+    # The reference's aspect hack ties vertical FOV to the cell height
+    # (Camera3D.cpp:17), so the shadow stays in frame only near the
+    # example's default geometry; shrink the step count, not the image.
+    rc = main(["--steps", "120"])
+    assert rc == 0
+
+
+@pytest.mark.slow
+def test_inverse_render_converges():
+    from examples.inverse_render import main
+
+    rc = main(["--steps", "60", "--width", "128", "--height", "64",
+               "--perturb", "0.8"])
+    assert rc == 0
