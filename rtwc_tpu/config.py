@@ -130,6 +130,11 @@ class EngineConfig:
     # Terminal mouse-look (xterm SGR any-motion tracking), the parity for
     # the reference's GetCursorPos camera rotation (Engine3D.cpp:200-239).
     mouse: bool = True
+    # When the sphere pool fills, double its capacity (the reference grows
+    # its device pointer array the same way, capped at 100 MB,
+    # Scene3D.cpp:107-129). Each doubling recompiles the jitted step once.
+    auto_grow: bool = True
+    max_grow_spheres: int = 4096
     seed: int = 0
 
 

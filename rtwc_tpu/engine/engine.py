@@ -30,7 +30,9 @@ from rtwc_tpu.config import EngineConfig, RenderConfig, RenderMode
 from rtwc_tpu.heads import framebuffer_to_cells, encode_frame
 from rtwc_tpu.io import ConsolePresenter, FramebufferSink, InputHandler
 from rtwc_tpu.render import render_frame
-from rtwc_tpu.scene import Scene, default_scene, spawn_random_sphere, update_scene
+from rtwc_tpu.scene import (
+    Scene, default_scene, grow_scene, spawn_random_sphere, update_scene,
+)
 from rtwc_tpu.utils import Timer, Telemetry
 
 log = logging.getLogger("rtwc_tpu")
@@ -142,9 +144,25 @@ class Engine:
 
         if self.telemetry.tick():
             if self.ecfg.spawn:
-                self.scene = spawn_random_sphere(self.scene, self._rng)
+                self._spawn()
             self.presenter.update_rendering_fps(self.telemetry.fps)
         return True
+
+    def _spawn(self) -> None:
+        """1 Hz random sphere (Engine3D.cpp:63). When the pool is full the
+        capacity doubles first (the reference's ptr-array doubling,
+        Scene3D.cpp:107-129) up to ecfg.max_grow_spheres; the next jitted
+        step recompiles once per doubling - the TPU's realloc."""
+        cap = self.scene.spheres.capacity
+        if self.scene.n_spheres >= cap:
+            if not self.ecfg.auto_grow or cap >= self.ecfg.max_grow_spheres:
+                return  # same silent refusal as the reference at its cap
+            self.scene = grow_scene(
+                self.scene,
+                max_spheres=min(cap * 2, self.ecfg.max_grow_spheres),
+            )
+            log.info("scene grown to %d sphere slots", self.scene.spheres.capacity)
+        self.scene = spawn_random_sphere(self.scene, self._rng)
 
     def _publish(self, cells) -> None:
         kind, color, char = jax.device_get(cells)

@@ -67,10 +67,17 @@ struct Printer {
         if (fresh) {
           current.swap(back);
           fresh = false;
+        } else if (terminate.load(std::memory_order_relaxed)) {
+          // Drain-on-stop: a frame published just before stop() still gets
+          // one blit (a short --frames run must not exit with zero output);
+          // only break once nothing fresh is pending.
+          break;
         }
       }
-      if (terminate.load(std::memory_order_relaxed)) break;
-      if (current.empty()) continue;
+      if (current.empty()) {
+        if (terminate.load(std::memory_order_relaxed)) break;
+        continue;
+      }
 
       auto t_start = Clock::now();
       frame.clear();

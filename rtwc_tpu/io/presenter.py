@@ -146,12 +146,21 @@ class ConsolePresenter:
         current = b""
         fps_t0 = time.perf_counter()
         try:
-            while not self._terminate:
+            while True:
+                fresh = False
                 with self._lock:
                     if self._fresh:
                         current = self._back_buffer
                         self._fresh = False
+                        fresh = True
+                if self._terminate and not fresh:
+                    # Drain-on-stop: a frame published just before cleanup()
+                    # still gets one blit (a short --frames run must not
+                    # exit with zero output); leave once nothing is pending.
+                    break
                 if not current:
+                    if self._terminate:
+                        break
                     time.sleep(0.002)
                     continue
                 t_start = time.perf_counter()

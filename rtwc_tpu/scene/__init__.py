@@ -6,6 +6,7 @@ from rtwc_tpu.scene.scene import (
     add_sphere,
     add_plane,
     default_scene,
+    grow_scene,
     random_scene,
     spawn_random_sphere,
     update_scene,
@@ -20,6 +21,7 @@ __all__ = [
     "add_sphere",
     "add_plane",
     "default_scene",
+    "grow_scene",
     "random_scene",
     "spawn_random_sphere",
     "update_scene",

@@ -188,6 +188,51 @@ def default_scene(config: RenderConfig | None = None, seed: int = 0) -> Scene:
     return s
 
 
+def grow_scene(scene: Scene, max_spheres: int | None = None,
+               max_planes: int | None = None) -> Scene:
+    """Return the same scene padded to a larger static capacity.
+
+    The reference grows its device pointer array by doubling (cudaMalloc +
+    cudaMemcpy + cudaFree, Scene3D.cpp:107-129, capped at 100 MB). Under
+    XLA, growth is a host-side pad with inactive slots: array shapes
+    change, so the next jitted step recompiles once per doubling - the
+    compile is the TPU's realloc. Shrinking is refused (live slots would
+    be lost); passing the current capacity is a no-op.
+    """
+    sp, pl = scene.spheres, scene.planes
+    ns = sp.capacity if max_spheres is None else max_spheres
+    npl = pl.active.shape[0] if max_planes is None else max_planes
+    if ns < sp.capacity or npl < pl.active.shape[0]:
+        raise ValueError(
+            f"grow_scene cannot shrink: have {sp.capacity}x{pl.active.shape[0]}, "
+            f"asked {ns}x{npl}")
+
+    def pad(arr, n, template_row=0.0):
+        arr = np.asarray(arr, np.float32)
+        extra = n - arr.shape[0]
+        if extra == 0:
+            return arr
+        fill = np.full((extra,) + arr.shape[1:], template_row, np.float32)
+        return np.concatenate([arr, fill], axis=0)
+
+    new_sp = Spheres(
+        center=pad(sp.center, ns), radius=pad(sp.radius, ns, 1.0),
+        color=pad(sp.color, ns), speed=pad(sp.speed, ns, 1.0),
+        mover=pad(sp.mover, ns, -1.0), active=pad(sp.active, ns),
+    )
+    normal = np.asarray(pl.normal, np.float32)
+    extra = npl - normal.shape[0]
+    if extra:
+        normal = np.concatenate(
+            [normal, np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (extra, 1))])
+    new_pl = Planes(
+        center=pad(pl.center, npl), normal=normal, color=pad(pl.color, npl),
+        width=pad(pl.width, npl, 1.0), height=pad(pl.height, npl, 1.0),
+        active=pad(pl.active, npl),
+    )
+    return Scene(spheres=new_sp, planes=new_pl)
+
+
 def spawn_random_sphere(scene: Scene, rng: np.random.Generator) -> Scene:
     """The 1 Hz test spawn (Engine3D.cpp:63): radius rand()%10, position
     components rand()%100-50, color components rand()%255."""

@@ -40,6 +40,33 @@ def test_engine_spawn_grows_scene():
     assert engine.scene.n_spheres > n0
 
 
+def test_engine_autogrows_capacity_when_full():
+    """Spawning past the pool doubles its capacity (the reference's
+    ptr-array growth, Scene3D.cpp:107-129) and the loop keeps rendering."""
+    rcfg = RenderConfig(width=40, height=24, max_spheres=6, max_planes=2)
+    ecfg = EngineConfig(spawn=True, show_fps=False, seed=1, max_grow_spheres=24)
+    sink = FramebufferSink(keep_all=True)
+    engine = Engine(rcfg, ecfg, presenter=sink, interactive=False)
+    engine.telemetry.interval = 0.0
+    assert engine.scene.spheres.capacity == 6
+    engine.run(max_frames=10)  # 5 seeded + 10 spawns = 15 live: two doublings
+    assert engine.scene.spheres.capacity == 24
+    assert engine.scene.n_spheres == 15
+    assert len(sink.frames) == 10
+
+
+def test_engine_autogrow_respects_cap():
+    rcfg = RenderConfig(width=40, height=24, max_spheres=6, max_planes=2)
+    ecfg = EngineConfig(spawn=True, show_fps=False, seed=1,
+                        max_grow_spheres=6)  # cap at initial capacity
+    engine = Engine(rcfg, ecfg, presenter=FramebufferSink(keep_all=True),
+                    interactive=False)
+    engine.telemetry.interval = 0.0
+    engine.run(max_frames=6)
+    assert engine.scene.spheres.capacity == 6  # silent refusal past the cap
+    assert engine.scene.n_spheres == 6
+
+
 def test_engine_stops_when_presenter_dies():
     engine, sink = _engine()
     engine.start()
