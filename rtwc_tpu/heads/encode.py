@@ -21,7 +21,11 @@ byte pass is the host hot loop at large resolutions).
 """
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+
+log = logging.getLogger("rtwc_tpu")
 
 _ESC, _LB, _SEMI, _M, _NL = 0x1B, ord("["), ord(";"), ord("m"), ord("\n")
 _D0 = ord("0")
@@ -117,14 +121,25 @@ def encode_frame_numpy(kind: np.ndarray, color: np.ndarray, char: np.ndarray) ->
     return rec[valid].tobytes()
 
 
+_native_failed = False
+
+
 def encode_frame(kind, color, char) -> bytes:
     """Encode cells to ANSI bytes, preferring the native C++ encoder."""
+    global _native_failed
     kind = np.asarray(kind)
     color = np.asarray(color)
     char = np.asarray(char)
-    try:
-        from rtwc_tpu.io.native import encode_frame_native
+    if not _native_failed:
+        try:
+            from rtwc_tpu.io.native import encode_frame_native
 
-        return encode_frame_native(kind, color, char)
-    except Exception:
-        return encode_frame_numpy(kind, color, char)
+            return encode_frame_native(kind, color, char)
+        except Exception as e:
+            # A broken toolchain / ABI drift silently costing ~9x encoder
+            # throughput is a diagnosable event: warn once, then stay on
+            # the NumPy path without re-attempting the import each frame.
+            _native_failed = True
+            log.warning("native ANSI encoder unavailable (%s); falling back "
+                        "to the NumPy encoder", e)
+    return encode_frame_numpy(kind, color, char)

@@ -89,6 +89,7 @@ class InputHandler:
         self._old_attrs = None
         self._fd = None
         self._carry = ""  # partial escape sequence split across reads
+        self._esc_pending = False  # lone trailing ESC carried one poll
         self._mouse_pos: tuple[int, int] | None = None
         self._mouse_enabled = False
 
@@ -145,6 +146,8 @@ class InputHandler:
 
     def poll(self) -> InputState:
         now = time.monotonic()
+        was_pending = self._esc_pending
+        self._esc_pending = False
         buf = self._carry + self._read_pending()
         self._carry = ""
         rot = [0.0, 0.0]
@@ -193,7 +196,21 @@ class InputHandler:
                         # sequence split across reads: finish it next poll
                         self._carry = buf[i:]
                         break
-                    # bare escape = quit (VK_ESCAPE, Engine3D.cpp:172-175)
+                    if not rest:
+                        # A read boundary can fall immediately after the ESC
+                        # byte of a mouse report (DECSET 1003 floods stdin),
+                        # so a lone trailing ESC is carried for one poll and
+                        # only counts as the bare-Esc quit (VK_ESCAPE,
+                        # Engine3D.cpp:172-175) if it is still unaccompanied
+                        # on the next poll.
+                        if was_pending and buf == "\x1b":
+                            quit_ = True
+                            i += 1
+                            continue
+                        self._carry = "\x1b"
+                        self._esc_pending = True
+                        break
+                    # ESC + unrecognized byte = bare escape = quit
                     quit_ = True
                     i += 1
                 continue

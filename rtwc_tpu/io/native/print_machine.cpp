@@ -56,7 +56,15 @@ struct Printer {
     std::vector<uint8_t> frame;  // assembled output (reused allocation)
     int print_count = 0;
     auto fps_t0 = Clock::now();
-    while (!terminate.load(std::memory_order_relaxed)) {
+    bool write_dead = false;
+    while (true) {
+      // Loop unconditionally and check `fresh` under the lock BEFORE the
+      // terminate test (same ordering as the Python _print_loop): a frame
+      // published while the thread was mid-blit or between iterations
+      // still gets one blit after stop() (drain-on-stop - a short --frames
+      // run must not exit with zero output). Break only when terminate is
+      // set and nothing fresh is pending.
+      bool got_fresh = false;
       {
         std::unique_lock<std::mutex> lk(mu);
         // Wake on a fresh frame or termination; re-blit the held frame at
@@ -67,13 +75,11 @@ struct Printer {
         if (fresh) {
           current.swap(back);
           fresh = false;
-        } else if (terminate.load(std::memory_order_relaxed)) {
-          // Drain-on-stop: a frame published just before stop() still gets
-          // one blit (a short --frames run must not exit with zero output);
-          // only break once nothing fresh is pending.
-          break;
+          got_fresh = true;
         }
+        if (!got_fresh && terminate.load(std::memory_order_relaxed)) break;
       }
+      if (write_dead) break;  // fd is gone; draining would just fail again
       if (current.empty()) {
         if (terminate.load(std::memory_order_relaxed)) break;
         continue;
@@ -100,7 +106,8 @@ struct Printer {
         if (w <= 0) {
           if (errno == EINTR) continue;
           terminate.store(true);  // broken pipe etc: stop like the
-          break;                  // reference's dead print thread
+          write_dead = true;      // reference's dead print thread
+          break;
         }
         p += w;
         left -= static_cast<size_t>(w);

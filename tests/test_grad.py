@@ -32,7 +32,7 @@ def _loss_of(params_to_scene_cam):
     return loss
 
 
-def _check_fd(loss, p0, eps=1e-3, rtol=0.15, atol=5e-5, x64=False):
+def _check_fd(loss, p0, eps=1e-3, rtol=0.03, atol=5e-5, x64=True):
     """Central finite differences vs jax.grad, elementwise.
 
     With x64=True the FD probe runs the loss in float64 (the renderer is
@@ -163,7 +163,7 @@ def test_grad_shadows_sphere_center():
         fb = render_frame_soft(scene, default_camera(), cfg, tau=1.0)
         return jnp.mean(fb.rgb / 255.0)
 
-    _check_fd(loss, base.spheres.center, eps=1e-2, rtol=0.15, atol=1e-4)
+    _check_fd(loss, base.spheres.center, eps=1e-3, rtol=0.03, atol=1e-5)
 
 
 def test_soft_shadow_darkens_and_converges_to_hard():

@@ -40,11 +40,27 @@ def test_arrow_look():
 
 
 def test_bare_escape_quits_but_csi_does_not():
-    assert make_handler(["\x1b"]).poll().quit
+    # A lone ESC could be the first byte of a split escape sequence, so it
+    # is carried for one poll; it quits only when still unaccompanied.
+    h = make_handler(["\x1b", ""])
+    assert not h.poll().quit
+    assert h.poll().quit
     assert make_handler(["q"]).poll().quit
     # unknown CSI (e.g. a focus event) must NOT quit
     st = make_handler(["\x1b[I"]).poll()
     assert not st.quit
+
+
+def test_read_boundary_right_after_esc_does_not_quit():
+    """A mouse report whose read boundary falls immediately after the ESC
+    byte (empty rest) must be finished on the next poll, never treated as
+    the bare-Esc quit (high-volume DECSET 1003 streams split anywhere)."""
+    h = make_handler(["\x1b[<35;80;24M\x1b", "[<35;80;20M"])
+    st = h.poll()
+    assert not st.quit
+    st = h.poll()
+    assert not st.quit
+    assert st.rot_delta == (4 * input_mod._CELL_PX_Y, 0.0)
 
 
 def test_sgr_mouse_deltas():
