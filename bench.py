@@ -1,30 +1,44 @@
-"""Headline benchmark: rays/sec/chip, forward + backward, 1080p, 20 spheres.
+"""Headline benchmark: rays/sec/chip, forward + backward, 1080p, 20 spheres,
+hard shadows (the full north-star feature set: Lambertian + specular shading
+with hard shadows, fully differentiable).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 The reference publishes no numbers (BASELINE.md: no README/docs/benchmarks),
 so vs_baseline is reported against the target set in BASELINE.json rather
 than a reference measurement: we normalize against a 60 FPS 1080p fwd+bwd
 budget (1920*1080*60 ~ 124.4M rays/s), i.e. vs_baseline > 1 means the
-differentiable renderer exceeds real-time 1080p training throughput on one
-chip - a bar the interactive reference never attempts (its backward pass
-does not exist).
+differentiable SHADOWED renderer exceeds real-time 1080p training
+throughput on one chip - a bar the interactive reference never attempts
+(its backward pass does not exist, RayTracing.cu has no shadow term).
 
-The headline step runs the fused Pallas custom-VJP kernels
-(render/pallas_soft.py): the soft-min over objects is computed online
-inside the forward kernel and the backward kernel applies the closed-form
-softmax VJP, so per-object intermediates never touch HBM. The jnp band
-renderer (render/softmin.py via lax.map) is timed as a secondary number -
-it is the semantic source of truth the kernels are validated against.
+Headline: the fused Pallas custom-VJP kernels (render/pallas_soft.py) with
+config.shadows=True - the soft-min over objects is computed online inside
+the forward kernel and the backward kernel applies the closed-form softmax
+VJP plus the shadow-sweep VJP, so per-object intermediates never touch HBM.
+
+Secondary entries (stderr + extra JSON fields):
+  - unshadowed fwd+bwd (the previous rounds' headline, for continuity);
+  - the pure-forward hard Pallas kernel (display path);
+  - the jnp fwd+bwd band renderer (semantic source of truth);
+  - BASELINE config-5 scale on one chip: 4K, 200 spheres, shadows, with
+    and without per-tile culling (VMEM/grid behavior at 10x the objects
+    and 4x the rays);
+  - a VPU roofline (utils/roofline.py): modeled element-ops per frame vs
+    the measured issue-rate peak of this chip. The model counts UNCULLED
+    work, so `vpu_sol_multiple` > 1 quantifies how far per-tile culling +
+    mul/add fusion push the kernel past the naive issue-everything speed
+    of light; `cull_speedup_fwd` isolates the culling share (measured, by
+    running the forward kernel with culling disabled).
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rtwc_tpu.camera import camera_rays, default_camera, projection_elements
 from rtwc_tpu.config import RenderConfig
@@ -32,18 +46,20 @@ from rtwc_tpu.render.softmin import trace_soft
 from rtwc_tpu.render.pallas_kernel import render_frame_pallas
 from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
 from rtwc_tpu.scene import random_scene
+from rtwc_tpu.utils import roofline
 
 WIDTH, HEIGHT = 1920, 1080
 N_BANDS = 12  # 90 rows/band: [90, 1920, 25, 3] f32 intermediates ~ 52 MB
 BASELINE_RAYS_PER_S = 1920 * 1080 * 60.0  # real-time 1080p fwd+bwd budget
+TAU = 0.5
 
 
-def build_fwd_bwd_step(cfg: RenderConfig, tau: float = 0.5):
+def build_fwd_bwd_step(cfg: RenderConfig, tau: float = TAU, cull: bool = True):
     """Headline step: MSE loss + grads through the fused Pallas kernels."""
 
     def loss_fn(params, target):
         scene, camera = params
-        fb = render_frame_soft_pallas(scene, camera, cfg, tau=tau)
+        fb = render_frame_soft_pallas(scene, camera, cfg, tau=tau, cull=cull)
         return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
 
     @jax.jit
@@ -53,7 +69,19 @@ def build_fwd_bwd_step(cfg: RenderConfig, tau: float = 0.5):
     return step
 
 
-def build_fwd_bwd_step_jnp(cfg: RenderConfig, tau: float = 0.5):
+def build_fwd_step(cfg: RenderConfig, tau: float = TAU, cull: bool = True):
+    """Forward-only soft kernel (no vjp), for the culling decomposition."""
+
+    @jax.jit
+    def step(params):
+        scene, camera = params
+        fb = render_frame_soft_pallas(scene, camera, cfg, tau=tau, cull=cull)
+        return fb.rgb
+
+    return step
+
+
+def build_fwd_bwd_step_jnp(cfg: RenderConfig, tau: float = TAU):
     """Secondary: the jnp soft renderer in HBM-bounded row bands."""
     e1, e2 = projection_elements(cfg)
     rows_per = cfg.height // N_BANDS
@@ -101,39 +129,89 @@ def time_it(fn, *args, warmup: int = 2, iters: int = 10) -> float:
 
 
 def main() -> None:
-    cfg = RenderConfig(
-        width=WIDTH, height=HEIGHT, max_spheres=20, max_planes=4,
-        soft_miss_penalty=300.0, soft_mask_k=10.0,
-    )
+    base = dict(soft_miss_penalty=300.0, soft_mask_k=10.0)
+    cfg_sh = RenderConfig(width=WIDTH, height=HEIGHT, max_spheres=20,
+                          max_planes=4, shadows=True, **base)
+    cfg_no = cfg_sh.replace(shadows=False)
     scene = random_scene(20, max_spheres=20, max_planes=4, seed=0)
     camera = default_camera()
-    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+    params = (scene, camera)
+    rays = WIDTH * HEIGHT
 
-    step = build_fwd_bwd_step(cfg)
-    dt = time_it(step, (scene, camera), target)
-    rays_per_s = WIDTH * HEIGHT / dt
+    # Headline: shadowed fwd+bwd on the fused kernels.
+    dt_sh = time_it(build_fwd_bwd_step(cfg_sh), params, target)
+    rps_sh = rays / dt_sh
 
-    # Secondary numbers (not the headline JSON): jnp fwd+bwd band renderer
-    # and the pure forward Pallas kernel.
-    jnp_dt = time_it(build_fwd_bwd_step_jnp(cfg), (scene, camera), target)
-    fwd_fn = jax.jit(lambda s, c: render_frame_pallas(s, c, cfg).rgb)
-    fwd_dt = time_it(fwd_fn, scene, camera)
-    import sys
+    # Secondary: unshadowed fwd+bwd (previous rounds' headline).
+    dt_no = time_it(build_fwd_bwd_step(cfg_no), params, target)
+
+    # Culling decomposition: shadowed forward with and without culling.
+    dt_fwd = time_it(build_fwd_step(cfg_sh), params)
+    dt_fwd_nc = time_it(build_fwd_step(cfg_sh, cull=False), params)
+
+    # Display path (hard Pallas kernel) and jnp source of truth.
+    fwd_hard = jax.jit(lambda s, c: render_frame_pallas(s, c, cfg_sh).rgb)
+    dt_hard = time_it(fwd_hard, scene, camera)
+    dt_jnp = time_it(build_fwd_bwd_step_jnp(cfg_no), params, target)
+
+    # BASELINE config-5 scale on one chip: 4K, 200 spheres, shadows.
+    cfg_4k = cfg_sh.replace(width=3840, height=2160, max_spheres=200)
+    scene_4k = random_scene(200, max_spheres=200, max_planes=4, seed=0)
+    target_4k = jnp.zeros((2160, 3840, 3), jnp.float32)
+    rays_4k = 3840 * 2160
+    dt_4k = time_it(build_fwd_bwd_step(cfg_4k), (scene_4k, camera), target_4k,
+                    warmup=1, iters=3)
+    dt_4k_nc = time_it(build_fwd_bwd_step(cfg_4k, cull=False),
+                       (scene_4k, camera), target_4k, warmup=1, iters=2)
+
+    # Roofline (utils/roofline.py): modeled uncull work vs measured time.
+    model = roofline.soft_step_model(cfg_sh, TAU, 20, 4)
+    util = roofline.utilization(model, dt_sh)
+    model_4k = roofline.soft_step_model(cfg_4k, TAU, 200, 4)
+    util_4k = roofline.utilization(model_4k, dt_4k)
+    # Direct speed-of-light check with no culling credit: the unculled
+    # forward's measured time vs the model at 1 issue/cycle. The VPU
+    # retires up to 2 of the modeled ops per cycle via mul+add fusion, so
+    # ratio/2 is the fraction of the FMA ceiling the kernel achieves.
+    sol_fwd = model["t_fwd_compute_bound_s"] / dt_fwd_nc / 2.0
 
     print(
-        f"# pallas fwd+bwd: {dt * 1e3:.2f} ms/frame ({rays_per_s / 1e6:.1f} Mrays/s) | "
-        f"jnp fwd+bwd: {jnp_dt * 1e3:.2f} ms/frame "
-        f"({WIDTH * HEIGHT / jnp_dt / 1e6:.1f} Mrays/s) | "
-        f"pallas fwd: {fwd_dt * 1e3:.2f} ms/frame "
-        f"({WIDTH * HEIGHT / fwd_dt / 1e6:.1f} Mrays/s) | "
-        f"backend={jax.default_backend()} devices={jax.device_count()}",
+        f"# HEADLINE shadowed fwd+bwd: {dt_sh*1e3:.2f} ms ({rps_sh/1e6:.1f} Mrays/s)\n"
+        f"# unshadowed fwd+bwd: {dt_no*1e3:.2f} ms ({rays/dt_no/1e6:.1f} Mrays/s) | "
+        f"hard fwd (display): {dt_hard*1e3:.2f} ms ({rays/dt_hard/1e6:.1f} Mrays/s) | "
+        f"jnp fwd+bwd: {dt_jnp*1e3:.2f} ms ({rays/dt_jnp/1e6:.1f} Mrays/s)\n"
+        f"# shadowed fwd only: {dt_fwd*1e3:.2f} ms culled / {dt_fwd_nc*1e3:.2f} ms unculled "
+        f"(cull speedup {dt_fwd_nc/dt_fwd:.2f}x)\n"
+        f"# 4K/200-sphere shadowed fwd+bwd: {dt_4k*1e3:.2f} ms ({rays_4k/dt_4k/1e6:.1f} Mrays/s) "
+        f"culled / {dt_4k_nc*1e3:.2f} ms unculled ({dt_4k_nc/dt_4k:.2f}x)\n"
+        f"# roofline 1080p: modeled {model['ops_per_frame']/1e9:.1f} Gops/frame -> "
+        f"{model['ops_per_frame']/dt_sh/1e12:.2f} effective Tops/s = "
+        f"{util['vpu_util']:.2f}x VPU issue-rate SOL ({roofline.VPU_OPS_PER_S/1e12:.2f} Tops/s), "
+        f"hbm {util['hbm_util']*100:.1f}% -> {util['bound']}-bound | "
+        f"4K: {util_4k['vpu_util']:.2f}x SOL\n"
+        f"# speed of light, no culling credit: unculled fwd at "
+        f"{sol_fwd*100:.0f}% of the 2-op/cycle FMA ceiling\n"
+        f"# backend={jax.default_backend()} devices={jax.device_count()}",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "rays/sec/chip fwd+bwd, 1080p, 20 spheres, soft renderer",
-        "value": round(rays_per_s, 1),
+        "metric": "rays/sec/chip fwd+bwd, 1080p, 20 spheres, hard shadows, soft renderer",
+        "value": round(rps_sh, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+        "vs_baseline": round(rps_sh / BASELINE_RAYS_PER_S, 4),
+        "shadowed": round(rps_sh, 1),
+        "unshadowed": round(rays / dt_no, 1),
+        "fwd_hard_display": round(rays / dt_hard, 1),
+        "jnp_fwd_bwd": round(rays / dt_jnp, 1),
+        "r4k_200sph_shadowed": round(rays_4k / dt_4k, 1),
+        "r4k_200sph_nocull": round(rays_4k / dt_4k_nc, 1),
+        "cull_speedup_fwd": round(dt_fwd_nc / dt_fwd, 3),
+        "model_gops_per_frame": round(model["ops_per_frame"] / 1e9, 2),
+        "vpu_sol_multiple": round(util["vpu_util"], 3),
+        "sol_pct_nocull_fwd": round(sol_fwd * 100, 1),
+        "hbm_util": round(util["hbm_util"], 4),
+        "bound": util["bound"],
     }))
 
 

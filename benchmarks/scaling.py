@@ -38,6 +38,11 @@ def main(argv=None) -> int:
                    help="force an N-virtual-device CPU mesh (topology testing)")
     p.add_argument("--sizes", type=str, default="",
                    help="comma-separated mesh sizes (default: 1,2,4,...,n_devices)")
+    p.add_argument("--animate", action="store_true",
+                   help="tick the sphere physics (update_scene) every step "
+                        "inside the sharded train step (BASELINE config 4)")
+    p.add_argument("--out", type=str, default="",
+                   help="also append the result record to this JSON-lines file")
     args = p.parse_args(argv)
 
     if args.simulate:
@@ -80,16 +85,18 @@ def main(argv=None) -> int:
         mesh = make_mesh(n)
         step = make_sharded_train_step(cfg, mesh, tau=args.tau,
                                        optimizer=optax.adam(1e-2),
-                                       backend=args.backend)
+                                       backend=args.backend,
+                                       animate=args.animate)
         params = (scene, cam)
         opt_state = step.init(params)
-        params, opt_state, loss = step(params, opt_state, target)
+        tick = 1.0 / 60.0
+        params, opt_state, loss = step(params, opt_state, target, tick)
         sync(loss)  # compile + warm
-        params, opt_state, loss = step(params, opt_state, target)
+        params, opt_state, loss = step(params, opt_state, target, tick)
         sync(loss)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            params, opt_state, loss = step(params, opt_state, target)
+            params, opt_state, loss = step(params, opt_state, target, tick)
         sync(loss)
         dt = (time.perf_counter() - t0) / args.iters
         rps = rays / dt
@@ -101,7 +108,19 @@ def main(argv=None) -> int:
         print(f"mesh={n:3d}  {dt*1e3:8.2f} ms/step  {rps/1e6:8.1f} Mrays/s  "
               f"eff={eff*100:5.1f}%", file=sys.stderr)
 
-    print(json.dumps(results))
+    record = {
+        "config": {"width": cfg.width, "height": cfg.height,
+                   "spheres": args.spheres, "tau": args.tau,
+                   "backend": args.backend, "animate": args.animate,
+                   "simulate": args.simulate},
+        "platform": jax.default_backend(),
+        "n_devices": n_dev,
+        "results": results,
+    }
+    print(json.dumps(record))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(record) + "\n")
     return 0
 
 

@@ -94,6 +94,7 @@ def make_sharded_train_step(
     optimizer=None,
     loss_scale: float = 1.0 / 255.0,
     backend: str = "jnp",
+    animate: bool = False,
 ) -> Callable:
     """Build the jitted multi-chip inverse-rendering train step
     (BASELINE configs 4-5; the train_step analogue of Engine3D::Run).
@@ -103,8 +104,15 @@ def make_sharded_train_step(
     back-propagates to the *replicated* scene + camera parameters; gradients
     are pmean-reduced over the mesh inside the backward (XLA overlaps the
     all-reduce with remaining backward compute). Returns
-    step(params, opt_state, target) -> (params, opt_state, loss).
+    step(params, opt_state, target, dt=0.0) -> (params, opt_state, loss).
     params = (scene, camera).
+
+    animate=True ticks the sphere physics (scene.update_scene: the bob
+    kernel of RayTracingManager.cu:10-44 / Sphere.cu:15-23) by the traced
+    `dt` argument inside the step, before rendering - BASELINE config 4's
+    "animated scene" in the sharded train loop. The tick is replicated
+    (objects are tiny) and differentiable, so gradients flow through it to
+    the base scene parameters.
     """
     import optax
 
@@ -118,8 +126,12 @@ def make_sharded_train_step(
     if backend not in ("jnp", "pallas"):
         raise ValueError(f"unknown train-step backend {backend!r}")
 
-    def local_loss(params, target_band):
+    def local_loss(params, target_band, dt):
         scene, camera = params
+        if animate:
+            from rtwc_tpu.scene import update_scene
+
+            scene = update_scene(scene, dt, config.bob_min_y, config.bob_max_y)
         tile = jax.lax.axis_index(TILE_AXIS)
         row0 = tile * rows_per
         if backend == "pallas":
@@ -147,8 +159,8 @@ def make_sharded_train_step(
         err = (rgb - target_band) * loss_scale
         return jnp.mean(err * err)
 
-    def shard_step(params, target_band):
-        loss, grads = jax.value_and_grad(local_loss)(params, target_band)
+    def shard_step(params, target_band, dt):
+        loss, grads = jax.value_and_grad(local_loss)(params, target_band, dt)
         # Replicated params -> gradients must be averaged across the mesh.
         grads = jax.lax.pmean(grads, TILE_AXIS)
         loss = jax.lax.pmean(loss, TILE_AXIS)
@@ -157,14 +169,14 @@ def make_sharded_train_step(
     sharded_grads = shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P(), P(TILE_AXIS)),
+        in_specs=(P(), P(TILE_AXIS), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def step(params, opt_state, target):
-        loss, grads = sharded_grads(params, target)
+    def step(params, opt_state, target, dt=0.0):
+        loss, grads = sharded_grads(params, target, jnp.asarray(dt, jnp.float32))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

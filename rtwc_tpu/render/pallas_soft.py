@@ -1073,13 +1073,16 @@ def soft_band_packed(sph, pl_, cam, row0, *, config: RenderConfig, tau: float,
     return fn(sph, pl_, cam)[:, :band_h, : config.width]
 
 
-@functools.partial(jax.jit, static_argnames=("config", "tau", "bh", "bw", "interpret"))
-def _render_soft_pallas_jit(scene, camera, *, config, tau, bh, bw, interpret):
+@functools.partial(jax.jit, static_argnames=("config", "tau", "bh", "bw",
+                                             "interpret", "cull"))
+def _render_soft_pallas_jit(scene, camera, *, config, tau, bh, bw, interpret,
+                            cull=True):
     sph, pl_, counts = P.pack_scene(scene)
     cam = P.pack_camera(camera)
     cam = cam.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
     cam = cam.at[0, C_NPL].set(counts[1].astype(jnp.float32))
-    fn, (Hp, Wp) = _build_soft_packed(config, tau, bh, bw, interpret)
+    fn, (Hp, Wp) = _build_soft_packed(config, tau, bh, bw, interpret,
+                                      fwd_cull=cull)
     out = fn(sph, pl_, cam)[:, : config.height, : config.width]
     rgb = jnp.moveaxis(out[SO_R: SO_B + 1], 0, -1)
     normal = jnp.moveaxis(out[SO_NX: SO_NZ + 1], 0, -1)
@@ -1101,11 +1104,15 @@ def render_frame_soft_pallas(
     bh: int | None = None,
     bw: int | None = None,
     interpret: bool | None = None,
+    cull: bool = True,
 ) -> Framebuffer:
     """Differentiable frame render on the fused Pallas fwd+bwd kernels.
 
     Drop-in for render_frame_soft (minus straight_through); gradients flow
     to scene geometry/colors and camera pose through pack_scene/pack_camera.
+    cull=False disables the per-tile object culling in the forward kernel
+    (benchmark decomposition; the backward kernel's culling is exact and
+    always on).
     """
     tau = config.soft_tau if tau is None else tau
     if tau <= 0.0:
@@ -1115,5 +1122,5 @@ def render_frame_soft_pallas(
     bh, bw = _pick_tiles(config, bh, bw)
     return _render_soft_pallas_jit(
         scene, camera, config=config, tau=float(tau), bh=bh, bw=bw,
-        interpret=interpret,
+        interpret=interpret, cull=cull,
     )

@@ -1,0 +1,374 @@
+"""VPU cycle-accounting roofline for the fused Pallas kernels.
+
+BASELINE.md demands "speed-of-light Pallas kernels"; this module turns
+that from an assertion into a number. The per-ray work of the fwd and bwd
+kernels (render/pallas_soft.py) is mechanical to count because every
+per-object closure is a few dozen traced jnp ops: we trace model
+functions that mirror the kernel sweeps (same closures from
+_make_object_fns, same online-softmin accumulate) and walk the jaxpr,
+weighting each element-wise primitive by its measured VPU cost in cycles.
+
+Peaks are EMPIRICAL, measured on the target chip (axon "TPU v5 lite", one
+core) with register-resident unrolled chains inside an on-device loop so
+neither HBM nor dispatch latency pollutes the number:
+
+  - FMA chain (x*a+b): 3.08 Tflop/s f32  = 1 FMA / lane / cycle at
+    1024 lanes x ~1.5 GHz -> the VPU issues ~1.54e12 vector element-ops
+    per second (an FMA counts as one issued op, two flops);
+  - exp: ~0.34e12/s (~4.4 cycles), rsqrt: ~0.245e12/s (~6 cycles);
+  - HBM streaming (read+write, 256 MB array): ~232 GB/s measured through
+    this tunnel (spec 819 GB/s; the measured number is the honest
+    denominator for this environment).
+
+Utilization semantics: the model counts the UNCULLED per-object work
+(the culling predicate's ~15 ops/ray/object of overhead are excluded, and
+its savings are credited), so reported utilization is "effective" - work
+avoided by per-tile culling counts as if executed, exactly like sparse-
+attention MFU accounting. Values can exceed 100% of the issue-rate peak
+only via mul+add fusion (an FMA is one issued op but the model counts the
+mul and add it replaces as two).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Empirical machine constants (axon TPU v5 lite, measured 2026-08; see
+# module docstring for methodology).
+VPU_OPS_PER_S = 1.54e12     # vector element-ops issued / s (FMA = 1 op)
+HBM_BYTES_PER_S = 232e9     # measured streaming r+w bandwidth
+
+# Per-primitive weights in issue slots ("cycles"). Default 1; transcendentals
+# and divides use the measured multi-pass cost. Shape/layout primitives are
+# free (they vanish into Mosaic register addressing).
+_WEIGHTS = {
+    "div": 6.0, "rsqrt": 6.0, "sqrt": 6.0,
+    "exp": 4.4, "log": 4.4, "exp2": 4.4, "log2": 4.4,
+    "logistic": 7.0, "tanh": 7.0, "pow": 10.0,
+    "clamp": 2.0,
+}
+_ZERO = {
+    "broadcast_in_dim", "reshape", "squeeze", "transpose", "copy",
+    "convert_element_type", "stop_gradient", "slice", "concatenate",
+    "iota", "expand_dims", "rev",
+}
+_SUBJAXPR_KEYS = ("jaxpr", "call_jaxpr", "fun_jaxpr")
+
+
+def _prod(shape) -> float:
+    return float(np.prod(shape)) if shape else 1.0
+
+
+def _inner_jaxprs(eqn):
+    found = []
+    for key in _SUBJAXPR_KEYS:
+        if key in eqn.params:
+            j = eqn.params[key]
+            found.append(j.jaxpr if hasattr(j, "jaxpr") else j)
+    if eqn.primitive.name == "cond":
+        # charge the most expensive branch (kernel conds guard the heavy path)
+        return None, [b.jaxpr for b in eqn.params["branches"]]
+    return (found or None), None
+
+
+def _count_jaxpr(jaxpr) -> float:
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        sub, branches = _inner_jaxprs(eqn)
+        if branches is not None:
+            total += max(_count_jaxpr(b) for b in branches)
+            continue
+        if sub is not None:
+            total += sum(_count_jaxpr(j) for j in sub)
+            continue
+        if name in _ZERO:
+            continue
+        if name == "integer_pow":
+            # repeated squaring: ceil(log2 n) squarings + up to as many muls
+            n = abs(int(eqn.params["y"]))
+            w = max(1, 2 * max(0, n.bit_length() - 1))
+        elif name.startswith("reduce_") or name in ("argmax", "argmin"):
+            total += max(_prod(v.aval.shape) for v in eqn.invars)
+            continue
+        else:
+            w = _WEIGHTS.get(name, 1.0)
+        total += w * max(
+            (_prod(v.aval.shape) for v in eqn.outvars), default=1.0
+        )
+    return total
+
+
+def count_vpu_ops(fn: Callable, *args) -> float:
+    """Weighted VPU element-op count of one call of fn (jaxpr walk)."""
+    return _count_jaxpr(jax.make_jaxpr(fn)(*args).jaxpr)
+
+
+# ---------------------------------------------------------------------------
+# Per-ray models of the fused soft kernels (render/pallas_soft.py). Each
+# model unrolls the object sweeps on scalar inputs so the jaxpr is exactly
+# one ray's worth of element-ops; grid/tile bookkeeping, SMEM scalar loads
+# and the (1, N) one-hot gradient splats are excluded (sub-1% at real tile
+# sizes).
+
+
+def _scalar_inputs(n_sph: int, n_pl: int):
+    sph = [tuple(jnp.float32(v) for v in (0.1 * k, 1.0, 5.0 + k, 1.0, 200.0, 90.0, 30.0))
+           for k in range(n_sph)]
+    pl_ = [tuple(jnp.float32(v) for v in
+                 (0.0, -2.0, 5.0 + k, 0.0, 1.0, 0.0, 10.0, 10.0, 120.0, 120.0, 120.0))
+           for k in range(n_pl)]
+    d = tuple(jnp.float32(v) for v in (0.1, -0.2, 0.97))
+    o = tuple(jnp.float32(v) for v in (0.0, 0.5, -3.0))
+    return sph, pl_, d, o
+
+
+def _accumulate(inv_tau):
+    """Copy of the kernel's online-softmin accumulate (pallas_soft.py
+    _soft_fwd_body) for op counting."""
+
+    def accumulate(state, t_eff, values):
+        m, s, acc = state
+        logit = -t_eff * inv_tau
+        m_new = jnp.maximum(m, logit)
+        e = jnp.exp(-jnp.abs(logit - m))
+        up = logit > m
+        alpha_ = jnp.where(up, e, 1.0)
+        p = jnp.where(up, 1.0, e)
+        s = s * alpha_ + p
+        acc = tuple(a * alpha_ + p * vi for a, vi in zip(acc, values))
+        return m_new, s, acc
+
+    return accumulate
+
+
+def _raygen_ops(config) -> float:
+    from rtwc_tpu.render.pallas_soft import _make_raygen
+
+    raygen = _make_raygen(config, 1, 1)
+    cam9 = tuple(jnp.float32(v) for v in
+                 (1, 0, 0, 0, 1, 0, 0.1, 0.0, 1.0))
+    zero = jnp.int32(0)
+    return count_vpu_ops(
+        lambda *c: raygen(zero, zero, jnp.float32(0.0), *c), *cam9)
+
+
+def _raygen_vjp_ops(config) -> float:
+    from rtwc_tpu.render.pallas_soft import _make_raygen
+
+    raygen = _make_raygen(config, 1, 1)
+    cam9 = tuple(jnp.float32(v) for v in
+                 (1, 0, 0, 0, 1, 0, 0.1, 0.0, 1.0))
+    zero = jnp.int32(0)
+    g = tuple(jnp.ones((1, 1), jnp.float32) for _ in range(3))
+
+    def f(*c):
+        _, vjp = jax.vjp(
+            lambda *cc: raygen(zero, zero, jnp.float32(0.0), *cc), *c)
+        return vjp(g)
+
+    return count_vpu_ops(f, *cam9)
+
+
+def fwd_ops_per_ray(config, tau: float, n_sph: int, n_pl: int) -> float:
+    """Model of _soft_fwd_body (unshadowed) / _soft_sh_fwd_body (shadowed):
+    weighted VPU ops per ray per frame, uncull-effective."""
+    from rtwc_tpu.render.pallas_soft import _make_object_fns
+
+    fns = _make_object_fns(config, tau)
+    inv_tau = jnp.float32(1.0 / tau)
+    accumulate = _accumulate(inv_tau)
+    sph, pl_, d, o = _scalar_inputs(n_sph, n_pl)
+
+    if not config.shadows:
+        def f():
+            m = jnp.float32(-config.far / tau)
+            s = jnp.float32(1.0)
+            acc = (jnp.float32(0.0),) * 3 + (jnp.float32(config.far),) + (jnp.float32(0.0),) * 3
+            state = (m, s, acc)
+            for a in sph:
+                vals = fns.sphere_f(*a[:4], *a[4:], *d, *o)
+                state = accumulate(state, vals[0], vals[1:])
+            for a in pl_:
+                vals = fns.plane_f(*a[:8], *a[8:], *d, *o)
+                state = accumulate(state, vals[0], vals[1:])
+            m, s, acc = state
+            inv_s = 1.0 / s
+            alpha = 1.0 - jnp.exp(jnp.float32(-config.far / tau) - m) * inv_s
+            return tuple(a * inv_s for a in acc) + (alpha, m, s)
+
+        return _raygen_ops(config) + count_vpu_ops(f)
+
+    def f():
+        # sweep 1: geometry softmin (depth + normal accumulators)
+        m = jnp.float32(-config.far / tau)
+        s = jnp.float32(1.0)
+        acc = (jnp.float32(config.far),) + (jnp.float32(0.0),) * 3
+        state = (m, s, acc)
+        for a in sph:
+            t_eff, t_clip, nx, ny, nz, _, _, _ = fns.sphere_geo(*a[:4], *d, *o)
+            state = accumulate(state, t_eff, (t_clip, nx, ny, nz))
+        for a in pl_:
+            t_eff, t_clip, nx, ny, nz, _, _, _ = fns.plane_geo(*a[:8], *d, *o)
+            state = accumulate(state, t_eff, (t_clip, nx, ny, nz))
+        m, s, acc = state
+        inv_s = 1.0 / s
+        depth = acc[0] * inv_s
+        # shadow sweep at the blended hit point
+        px = o[0] + d[0] * depth
+        py = o[1] + d[1] * depth
+        pz = o[2] + d[2] * depth
+        vis = jnp.float32(1.0)
+        for a in sph:
+            vis = vis * fns.shadow_sphere_f(*a[:4], px, py, pz)
+        for a in pl_:
+            vis = vis * fns.shadow_plane_f(*a[:8], px, py, pz)
+        # sweep 2: clamped color blend with final (m, s)
+        carry = (jnp.float32(0.0),) * 6
+        for a in sph + pl_:
+            geo = a[:-3] if len(a) == 11 else a[:4]
+            col = a[-3:]
+            if len(a) == 7:
+                t_eff, _, nx, ny, nz, hx, hy, hz = fns.sphere_geo(*geo, *d, *o)
+            else:
+                t_eff, _, nx, ny, nz, hx, hy, hz = fns.plane_geo(*geo, *d, *o)
+            w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+            parts = fns.shade_parts(*col, hx, hy, hz, nx, ny, nz, *d)
+            out = []
+            for c in range(3):
+                a_c, b_c = parts[c]
+                val = a_c + vis * b_c
+                gate = (val < 255.0).astype(jnp.float32)
+                out.append(carry[c] + w * jnp.minimum(255.0, val))
+                out.append(carry[3 + c] + w * b_c * gate)
+            carry = (out[0], out[2], out[4], out[1], out[3], out[5])
+        return carry, depth, vis, m, s
+
+    return _raygen_ops(config) + count_vpu_ops(f)
+
+
+def bwd_ops_per_ray(config, tau: float, n_sph: int, n_pl: int) -> float:
+    """Model of _soft_bwd_body / _soft_sh_bwd_body: per-object vjp replay +
+    closed-form softmax cotangents (pallas_soft.py), per ray."""
+    from rtwc_tpu.render.pallas_soft import _make_object_fns
+
+    fns = _make_object_fns(config, tau)
+    inv_tau = jnp.float32(1.0 / tau)
+    sph, pl_, d, o = _scalar_inputs(n_sph, n_pl)
+    g = tuple(jnp.float32(0.1) for _ in range(8))  # rgb, depth, n, alpha
+    sav = tuple(jnp.float32(v) for v in (100, 90, 80, 5, 0, 1, 0, 0.9))
+    m = jnp.float32(-10.0)
+    s = jnp.float32(2.0)
+
+    def S_and_cot():
+        inv_s = 1.0 / s
+        w_bg = jnp.exp(jnp.float32(-config.far / tau) - m) * inv_s
+        S = sum(gi * vi for gi, vi in zip(g[:7], sav[:7])) - g[7] * w_bg
+        return S, inv_s
+
+    def cotangents(vals, S, inv_s, g_depth):
+        t_eff, r_, g_, b_, t_clip, nx, ny, nz = vals
+        w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+        gdotv = (g[0] * r_ + g[1] * g_ + g[2] * b_ + g_depth * t_clip
+                 + g[4] * nx + g[5] * ny + g[6] * nz)
+        dlogit = w * (gdotv - S)
+        return (-dlogit * inv_tau, w * g[0], w * g[1], w * g[2],
+                w * g_depth, w * g[4], w * g[5], w * g[6])
+
+    if not config.shadows:
+        def f():
+            S, inv_s = S_and_cot()
+            outs = []
+            for a in sph:
+                args = (*a[:4], *a[4:], *d, *o)
+                vals, fvjp = jax.vjp(fns.sphere_f, *args)
+                outs.append(fvjp(cotangents(vals, S, inv_s, g[3])))
+            for a in pl_:
+                args = (*a[:8], *a[8:], *d, *o)
+                vals, fvjp = jax.vjp(fns.plane_f, *args)
+                outs.append(fvjp(cotangents(vals, S, inv_s, g[3])))
+            return outs
+
+        return _raygen_vjp_ops(config) + count_vpu_ops(f)
+
+    vis = jnp.float32(0.7)
+    g_vis = jnp.float32(0.05)
+
+    def f():
+        depth = sav[3]
+        px = o[0] + d[0] * depth
+        py = o[1] + d[1] * depth
+        pz = o[2] + d[2] * depth
+        outs = []
+        ct = (jnp.float32(0.0),) * 3
+        for a in sph:
+            f_j, fvjp = jax.vjp(fns.shadow_sphere_f, *a[:4], px, py, pz)
+            gr = fvjp(g_vis * vis / f_j)
+            outs.append(gr[:4])
+            ct = (ct[0] + gr[4], ct[1] + gr[5], ct[2] + gr[6])
+        for a in pl_:
+            f_j, fvjp = jax.vjp(fns.shadow_plane_f, *a[:8], px, py, pz)
+            gr = fvjp(g_vis * vis / f_j)
+            outs.append(gr[:8])
+            ct = (ct[0] + gr[8], ct[1] + gr[9], ct[2] + gr[10])
+        g_depth = g[3] + ct[0] * d[0] + ct[1] * d[1] + ct[2] * d[2]
+        S, inv_s = S_and_cot()
+        for a in sph:
+            args = (*a[:4], *a[4:], *d, *o)
+            vals, fvjp = jax.vjp(lambda *aa: fns.sphere_f(*aa, vis=vis), *args)
+            outs.append(fvjp(cotangents(vals, S, inv_s, g_depth)))
+        for a in pl_:
+            args = (*a[:8], *a[8:], *d, *o)
+            vals, fvjp = jax.vjp(lambda *aa: fns.plane_f(*aa, vis=vis), *args)
+            outs.append(fvjp(cotangents(vals, S, inv_s, g_depth)))
+        return outs
+
+    return _raygen_vjp_ops(config) + count_vpu_ops(f)
+
+
+@functools.lru_cache(maxsize=16)
+def soft_step_model(config, tau: float, n_sph: int, n_pl: int) -> dict:
+    """Roofline model of one fwd+bwd step of the fused soft kernels.
+
+    Returns per-frame totals: weighted VPU ops, HBM bytes, and the
+    compute/memory-bound time estimates at the measured peaks."""
+    from rtwc_tpu.render.pallas_soft import (
+        N_PLANES, N_PLANES_SH, _pick_tiles)
+    from rtwc_tpu.render.pallas_kernel import _round_up
+
+    fwd = fwd_ops_per_ray(config, tau, n_sph, n_pl)
+    bwd = bwd_ops_per_ray(config, tau, n_sph, n_pl)
+    bh, bw = _pick_tiles(config, None, None)
+    Hp, Wp = _round_up(config.height, bh), _round_up(config.width, bw)
+    rays = Hp * Wp  # the kernel pays for padded tiles
+    n_out = N_PLANES_SH if config.shadows else N_PLANES
+    plane_bytes = 4 * Hp * Wp * n_out
+    # fwd writes the plane stack; bwd reads it twice (saved + cotangents)
+    # and writes only the tiny grad tables.
+    hbm_bytes = 3 * plane_bytes
+    ops = rays * (fwd + bwd)
+    return {
+        "fwd_ops_per_ray": fwd,
+        "bwd_ops_per_ray": bwd,
+        "ops_per_frame": ops,
+        "fwd_ops_per_frame": rays * fwd,
+        "hbm_bytes_per_frame": hbm_bytes,
+        "t_compute_bound_s": ops / VPU_OPS_PER_S,
+        "t_fwd_compute_bound_s": rays * fwd / VPU_OPS_PER_S,
+        "t_hbm_bound_s": hbm_bytes / HBM_BYTES_PER_S,
+    }
+
+
+def utilization(model: dict, measured_s: float) -> dict:
+    """Achieved fraction of the VPU issue-rate speed of light (and the HBM
+    side, to show which wall the kernel sits against)."""
+    return {
+        "vpu_util": model["t_compute_bound_s"] / measured_s,
+        "hbm_util": model["t_hbm_bound_s"] / measured_s,
+        "bound": "compute" if model["t_compute_bound_s"] > model["t_hbm_bound_s"] else "hbm",
+    }

@@ -151,6 +151,40 @@ def test_sharded_pallas_backend_matches_jnp_shadowed():
                                rtol=2e-2, atol=1e-9)
 
 
+def test_sharded_train_step_animated():
+    """BASELINE config 4: the sharded train step with the physics tick
+    (update_scene) applied inside the step. The animated step must (a) run
+    and return finite loss, (b) equal the unanimated step at dt=0, and
+    (c) at dt>0 equal rendering the pre-ticked scene."""
+    import optax
+
+    from rtwc_tpu.scene import update_scene
+
+    mesh = make_mesh(4)
+    cfg = CFG.replace(soft_miss_penalty=300.0, soft_mask_k=10.0)
+    scene, cam = default_scene(cfg), default_camera()
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    opt = optax.sgd(0.0)  # loss probe only
+
+    step_anim = make_sharded_train_step(cfg, mesh, tau=0.5, optimizer=opt,
+                                        animate=True)
+    step_plain = make_sharded_train_step(cfg, mesh, tau=0.5, optimizer=opt)
+    params = (scene, cam)
+    st = step_anim.init(params)
+
+    _, _, loss_dt0 = step_anim(params, st, target, 0.0)
+    _, _, loss_plain = step_plain(params, st, target)
+    assert np.isfinite(float(loss_dt0))
+    np.testing.assert_allclose(float(loss_dt0), float(loss_plain), rtol=1e-6)
+
+    dt = 0.25
+    _, _, loss_anim = step_anim(params, st, target, dt)
+    ticked = update_scene(scene, jnp.float32(dt), cfg.bob_min_y, cfg.bob_max_y)
+    _, _, loss_ticked = step_plain((ticked, cam), st, target)
+    np.testing.assert_allclose(float(loss_anim), float(loss_ticked), rtol=1e-6)
+    assert abs(float(loss_anim) - float(loss_dt0)) > 0  # the tick moved spheres
+
+
 def test_sharded_grads_match_single_device():
     import functools
 
