@@ -30,6 +30,9 @@ from rtwc_tpu.render.softmin import trace_soft
 from rtwc_tpu.scene import Scene
 
 TILE_AXIS = "tiles"
+# Per-sub-band cap on the jnp soft renderer's [rows, W, n_obj, 3] shading
+# intermediates inside the sharded train step (see make_sharded_train_step).
+_JNP_CHUNK_BYTES = 128 * 2**20
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = TILE_AXIS) -> Mesh:
@@ -50,14 +53,33 @@ def _check_divisible(height: int, n: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _make_render_sharded(config: RenderConfig, mesh: Mesh):
+def _make_render_sharded(config: RenderConfig, mesh: Mesh, backend: str):
     n = mesh.shape[TILE_AXIS]
     rows_per = _check_divisible(config.height, n)
     e1, e2 = projection_elements(config)
 
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend not in ("jnp", "pallas"):
+        raise ValueError(f"unknown sharded-render backend {backend!r}")
+
     def band(scene: Scene, camera: Camera) -> Framebuffer:
         tile = jax.lax.axis_index(TILE_AXIS)
         row0 = tile * rows_per
+        if backend == "pallas":
+            # Fused hard kernel (render/pallas_kernel.py) with the band
+            # hook: the fast display path scales across the mesh at kernel
+            # speed, not jnp speed.
+            from rtwc_tpu.render import pack as _pack
+            from rtwc_tpu.render.pallas_kernel import (
+                hard_band_packed, planes_to_framebuffer,
+            )
+
+            sph, pl_, counts = _pack.pack_scene(scene)
+            cam = _pack.pack_camera(camera)
+            out = hard_band_packed(sph, pl_, counts.reshape(1, 2), cam, row0,
+                                   config=config, band_h=rows_per)
+            return planes_to_framebuffer(out, config, rows_per)
         origin, dirs = camera_rays(
             camera, config.width, config.height, e1, e2, row_start=row0, n_rows=rows_per
         )
@@ -72,19 +94,24 @@ def _make_render_sharded(config: RenderConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P()),            # scene + camera replicated
         out_specs=jax.tree.map(lambda _: P(TILE_AXIS), Framebuffer(0, 0, 0, 0, 0, 0)),
+        # pallas_call can't annotate varying-mesh-axes on its out_shape yet.
+        check_vma=False,
     )
     return jax.jit(fn)
 
 
 def render_frame_sharded(
-    scene: Scene, camera: Camera, config: RenderConfig, mesh: Mesh
+    scene: Scene, camera: Camera, config: RenderConfig, mesh: Mesh,
+    backend: str = "auto",
 ) -> Framebuffer:
     """Tile-sharded forward render: each device renders its band of image
     rows against the replicated scene. Output framebuffer leaves are
     sharded over rows; per-pixel values match the single-device render to
-    the last bits (validated in tests/test_dist.py). The jitted program is
-    cached per (config, mesh)."""
-    return _make_render_sharded(config, mesh)(scene, camera)
+    the last bits (validated in tests/test_dist.py). backend="auto" runs
+    the fused hard Pallas kernel per band on TPU and the jnp renderer
+    elsewhere; "pallas"/"jnp" force (pallas interprets off-TPU). The
+    jitted program is cached per (config, mesh, backend)."""
+    return _make_render_sharded(config, mesh, backend)(scene, camera)
 
 
 def make_sharded_train_step(
@@ -151,11 +178,32 @@ def make_sharded_train_step(
                                    tau=tau, band_h=rows_per)
             rgb = jnp.moveaxis(out[SO_R: SO_B + 1], 0, -1)
         else:
-            origin, dirs = camera_rays(
-                camera, config.width, config.height, e1, e2,
-                row_start=row0, n_rows=rows_per
-            )
-            rgb, _, _, _ = trace_soft(scene, origin, dirs, config, tau=tau)
+            # jnp renderer: sub-band the rows so the [r, W, n_obj, 3]
+            # shading intermediates stay bounded at config-5 scale (4K,
+            # 200 spheres would otherwise materialize ~300 GB), and
+            # jax.checkpoint each sub-band so reverse-mode stores only the
+            # sub-band inputs and recomputes the forward - the classic
+            # remat trade of FLOPs for HBM.
+            n_obj = config.max_spheres + config.max_planes
+            bytes_per_row = config.width * n_obj * 3 * 4
+            sub = max(1, min(rows_per, _JNP_CHUNK_BYTES // max(1, bytes_per_row)))
+            while rows_per % sub:
+                sub -= 1
+
+            def sub_band(r0):
+                origin, dirs = camera_rays(
+                    camera, config.width, config.height, e1, e2,
+                    row_start=r0, n_rows=sub
+                )
+                rgb, _, _, _ = trace_soft(scene, origin, dirs, config, tau=tau)
+                return rgb
+
+            if sub == rows_per:
+                rgb = sub_band(row0)
+            else:
+                r0s = row0 + jnp.arange(rows_per // sub) * sub
+                rgb = jax.lax.map(jax.checkpoint(sub_band), r0s).reshape(
+                    rows_per, config.width, 3)
         err = (rgb - target_band) * loss_scale
         return jnp.mean(err * err)
 

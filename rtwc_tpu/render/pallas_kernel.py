@@ -42,6 +42,10 @@ from rtwc_tpu.scene import Scene
 
 # Output plane indices of the packed framebuffer.
 O_R, O_G, O_B, O_DEPTH, O_NX, O_NY, O_NZ, O_SHADING = range(8)
+# Camera-vector spare slot: the band's first image row (tile sharding -
+# each device renders rows [row0, row0 + band_h); same slot convention as
+# render/pallas_soft.py C_ROW0).
+C_ROW0 = 14
 
 
 def _pow_int(x: jax.Array, n: int) -> jax.Array:
@@ -66,7 +70,7 @@ def _ray_kernel_body(config: RenderConfig, bh: int, bw: int,
 
     # --- ray generation (RayTracing.cu:9-24) -------------------------------
     # Mosaic requires integer iota; cast after (float iota is rejected).
-    rowf = (i * bh).astype(jnp.float32) + jax.lax.broadcasted_iota(
+    rowf = cam_ref[0, C_ROW0] + (i * bh).astype(jnp.float32) + jax.lax.broadcasted_iota(
         jnp.int32, (bh, bw), 0
     ).astype(jnp.float32)
     colf = (j * bw).astype(jnp.float32) + jax.lax.broadcasted_iota(
@@ -255,9 +259,15 @@ def _best_bw(width: int) -> int:
 
 
 def pallas_render_packed(sph, plane, counts, cam_vec, *, config: RenderConfig,
-                         bh: int, bw: int, interpret: bool):
-    """Invoke the kernel on pre-packed tables. Call under jit."""
-    Hp = _round_up(config.height, bh)
+                         bh: int, bw: int, interpret: bool,
+                         band_h: int | None = None):
+    """Invoke the kernel on pre-packed tables. Call under jit.
+
+    band_h renders only that many image rows starting at the row carried
+    in cam_vec[0, C_ROW0] (NDC math still uses the full config resolution)
+    - the tile-sharding hook used by dist/mesh.py, mirroring
+    render/pallas_soft.py soft_band_packed."""
+    Hp = _round_up(band_h if band_h is not None else config.height, bh)
     Wp = _round_up(config.width, bw)
     # The NDC math uses the true W/H; padded rays fall outside the image
     # and are sliced off after the call.
@@ -279,18 +289,10 @@ def pallas_render_packed(sph, plane, counts, cam_vec, *, config: RenderConfig,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("config", "bh", "bw", "interpret"))
-def _render_pallas_jit(scene, camera, *, config: RenderConfig, bh: int, bw: int,
-                       interpret: bool) -> Framebuffer:
-    # Packing runs INSIDE jit: a single fused upload of the scene pytree,
-    # never a chain of eager device ops (they round-trip a remote TPU).
-    sph, plane, counts = P.pack_scene(scene)
-    cam_vec = P.pack_camera(camera)
-    out = pallas_render_packed(
-        sph, plane, counts.reshape(1, 2), cam_vec,
-        config=config, bh=bh, bw=bw, interpret=interpret,
-    )
-    out = out[:, : config.height, : config.width]
+def planes_to_framebuffer(out, config: RenderConfig, height: int) -> Framebuffer:
+    """Slice the padded [8, Hp, Wp] plane stack to (height, width) and
+    reassemble the Framebuffer pytree."""
+    out = out[:, :height, : config.width]
     rgb = jnp.moveaxis(out[O_R : O_B + 1], 0, -1)
     normal = jnp.moveaxis(out[O_NX : O_NZ + 1], 0, -1)
     depth = out[O_DEPTH]
@@ -303,6 +305,39 @@ def _render_pallas_jit(scene, camera, *, config: RenderConfig, bh: int, bw: int,
         hit=hit,
         coverage=hit.astype(jnp.float32),
     )
+
+
+def hard_band_packed(sph, plane, counts, cam_vec, row0, *,
+                     config: RenderConfig, band_h: int,
+                     bh: int | None = None, bw: int | None = None,
+                     interpret: bool | None = None):
+    """Render a band of `band_h` image rows starting at traced row `row0`
+    on the hard forward kernel, from pre-packed tables. Returns the
+    [8, Hp, Wp] plane stack (O_* indices; slice with planes_to_framebuffer).
+    Used by the tile-sharded display path (dist/mesh.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bw = _best_bw(config.width) if bw is None else min(bw, _round_up(config.width, 128))
+    bh = min(bh or 32, _round_up(band_h, 8))
+    cam_vec = cam_vec.at[0, C_ROW0].set(jnp.asarray(row0, jnp.float32))
+    return pallas_render_packed(
+        sph, plane, counts, cam_vec,
+        config=config, bh=bh, bw=bw, interpret=interpret, band_h=band_h,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "bh", "bw", "interpret"))
+def _render_pallas_jit(scene, camera, *, config: RenderConfig, bh: int, bw: int,
+                       interpret: bool) -> Framebuffer:
+    # Packing runs INSIDE jit: a single fused upload of the scene pytree,
+    # never a chain of eager device ops (they round-trip a remote TPU).
+    sph, plane, counts = P.pack_scene(scene)
+    cam_vec = P.pack_camera(camera)
+    out = pallas_render_packed(
+        sph, plane, counts.reshape(1, 2), cam_vec,
+        config=config, bh=bh, bw=bw, interpret=interpret,
+    )
+    return planes_to_framebuffer(out, config, config.height)
 
 
 def render_frame_pallas(

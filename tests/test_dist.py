@@ -38,6 +38,27 @@ def test_sharded_render_matches_single_device(n):
         )
 
 
+@pytest.mark.parametrize("n", [2, 8])
+def test_sharded_pallas_display_matches_single_device(n):
+    """The hard Pallas kernel's band hook (hard_band_packed): the sharded
+    display path must reproduce the single-device Pallas render exactly
+    (same kernel math per band, only the row origin differs)."""
+    from rtwc_tpu.render.pallas_kernel import render_frame_pallas
+
+    mesh = make_mesh(n)
+    scene, cam = default_scene(CFG), default_camera()
+    fb_single = render_frame_pallas(scene, cam, CFG)
+    fb_sharded = render_frame_sharded(scene, cam, CFG, mesh, backend="pallas")
+    for name in ("rgb", "normal", "depth", "shading"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fb_single, name)),
+            np.asarray(getattr(fb_sharded, name)),
+            atol=1e-5, rtol=1e-6,
+            err_msg=f"{name} differs between single-device and {n}-way "
+                    f"sharded pallas render",
+        )
+
+
 def test_sharded_render_rejects_bad_height():
     mesh = make_mesh(8)
     cfg = CFG.replace(height=30)  # not divisible by 8
