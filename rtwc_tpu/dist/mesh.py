@@ -87,13 +87,14 @@ def _make_render_sharded(config: RenderConfig, mesh: Mesh, backend: str):
         rgb = shade(scene, origin, dirs, t, normal, color, config)
         hit = t <= config.far
         return Framebuffer(rgb=rgb, normal=normal, depth=t, shading=shading, hit=hit,
-                           coverage=hit.astype(jnp.float32))
+                           coverage=hit.astype(jnp.float32),
+                           alpha=hit.astype(jnp.float32))
 
     fn = shard_map(
         band,
         mesh=mesh,
         in_specs=(P(), P()),            # scene + camera replicated
-        out_specs=jax.tree.map(lambda _: P(TILE_AXIS), Framebuffer(0, 0, 0, 0, 0, 0)),
+        out_specs=jax.tree.map(lambda _: P(TILE_AXIS), Framebuffer(0, 0, 0, 0, 0, 0, 0)),
         # pallas_call can't annotate varying-mesh-axes on its out_shape yet.
         check_vma=False,
     )

@@ -304,6 +304,7 @@ def planes_to_framebuffer(out, config: RenderConfig, height: int) -> Framebuffer
         shading=out[O_SHADING],
         hit=hit,
         coverage=hit.astype(jnp.float32),
+        alpha=hit.astype(jnp.float32),
     )
 
 

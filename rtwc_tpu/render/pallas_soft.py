@@ -791,19 +791,30 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 
 def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
-                      cull: bool,
-                      cam_ref, sph_ref, pl_ref, out_ref):
-    """Shadowed forward: three object sweeps instead of one.
+                      cull: bool, max_cache: int,
+                      cam_ref, sph_ref, pl_ref, out_ref, cache_ref):
+    """Shadowed forward: ONE fused geometry+shading sweep with a VMEM
+    object cache, the shadow sweep, then a tiny clamp-correction loop.
 
     rgb_k = min(255, A_k + vis * B_k) couples every object's color to the
     light visibility at the *blended* hit point (softmin.py trace_soft
-    semantics), and vis needs the blended depth - so the color blend cannot
-    be computed online in the same sweep that discovers the softmin weights.
-    Sweep 1 runs the online softmin over t_eff accumulating depth + normal;
-    the shadow sweep multiplies per-occluder transmittances at
-    P = o + d * depth; sweep 2 re-walks the objects with the now-final
-    (m, s) statistics, blending clamped shaded colors and the saved
-    d(rgb)/d(vis) planes for the backward kernel."""
+    semantics), and vis needs the blended depth - so the clamped blend
+    cannot finish in the sweep that discovers the softmin weights. But the
+    ambient part A_k and direct part B_k do NOT depend on vis, so sweep 1
+    blends them online alongside the geometry softmin AND caches each
+    culled-in object's (t_eff, A, B) planes in VMEM scratch (cache_ref,
+    max_cache slots; typical tiles see a handful of objects post-culling).
+    After the shadow sweep fixes vis, the exact clamped blend is
+
+        rgb = A_blend + vis * B_blend
+              - sum_k w_k * max(0, A_k + vis B_k - 255)        (correction)
+        d(rgb)/d(vis) = B_blend - sum_k w_k B_k [A_k + vis B_k >= 255]
+
+    with the correction read straight from the cache (~30 VPU ops/slot
+    instead of a ~250-op re-intersection per object). Only when a tile
+    overflows the cache (count > max_cache: crowded scenes) does it fall
+    back to the exact re-walk of the retired 3-sweep design. Replaces the
+    third full object sweep with cache reads on ~all tiles."""
     fns = _make_object_fns(config, tau)
     raygen = _make_raygen(config, bh, bw)
     i, j = pl.program_id(0), pl.program_id(1)
@@ -817,15 +828,21 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     bg_logit = jnp.float32(-config.far / tau)
     n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
     n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
+    zero = jnp.zeros((bh, bw), jnp.float32)
 
-    # ---- sweep 1: online softmin over t_eff; accumulate depth + normal.
+    # ---- sweep 1: online softmin over t_eff; accumulate depth, normal,
+    # and the vis-independent shading parts (A ambient, B direct); cache
+    # per-object (t_eff, A, B) planes for the clamp correction.
     m = jnp.full((bh, bw), bg_logit, jnp.float32)
     s = jnp.ones((bh, bw), jnp.float32)
-    acc = (jnp.full((bh, bw), jnp.float32(config.far)),) + (
-        jnp.zeros((bh, bw), jnp.float32),) * 3
+    acc = (jnp.full((bh, bw), jnp.float32(config.far)),) + (zero,) * 9
+    count = jnp.zeros((), jnp.int32)
 
-    def accumulate(state, t_eff, values):
-        m, s, acc = state
+    def fused_accumulate(state, geo_out, col):
+        m, s, acc, count = state
+        t_eff, t_clip, nx, ny, nz, hx, hy, hz = geo_out
+        parts = fns.shade_parts(*col, hx, hy, hz, nx, ny, nz, dx, dy, dz)
+        (ar, br), (ag, bg_), (ab, bb) = parts
         logit = -t_eff * inv_tau
         m_new = jnp.maximum(m, logit)
         e = jnp.exp(-jnp.abs(logit - m))
@@ -833,17 +850,30 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         alpha_ = jnp.where(up, e, 1.0)
         p = jnp.where(up, 1.0, e)
         s = s * alpha_ + p
-        acc = tuple(a * alpha_ + p * vi for a, vi in zip(acc, values))
-        return m_new, s, acc
+        vals = (t_clip, nx, ny, nz, ar, ag, ab, br, bg_, bb)
+        acc = tuple(a * alpha_ + p * vi for a, vi in zip(acc, vals))
+
+        @pl.when(count < max_cache)
+        def _store():
+            cache_ref[count, 0] = t_eff
+            # A may be scalar (ambient = amb * col/255 * 255); broadcast.
+            cache_ref[count, 1] = ar + zero
+            cache_ref[count, 2] = ag + zero
+            cache_ref[count, 3] = ab + zero
+            cache_ref[count, 4] = br + zero
+            cache_ref[count, 5] = bg_ + zero
+            cache_ref[count, 6] = bb + zero
+
+        return m_new, s, acc, count + 1
 
     def sphere_geo_body(k, state):
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
+        col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
 
         def heavy(st):
-            t_eff, t_clip, nx, ny, nz, _, _, _ = fns.sphere_geo(
-                *geo, dx, dy, dz, ox, oy, oz)
-            return accumulate(st, t_eff, (t_clip, nx, ny, nz))
+            return fused_accumulate(
+                st, fns.sphere_geo(*geo, dx, dy, dz, ox, oy, oz), col)
 
         if not cull:
             return heavy(state)
@@ -855,11 +885,11 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+        col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
 
         def heavy(st):
-            t_eff, t_clip, nx, ny, nz, _, _, _ = fns.plane_geo(
-                *geo, dx, dy, dz, ox, oy, oz)
-            return accumulate(st, t_eff, (t_clip, nx, ny, nz))
+            return fused_accumulate(
+                st, fns.plane_geo(*geo, dx, dy, dz, ox, oy, oz), col)
 
         if not cull:
             return heavy(state)
@@ -867,9 +897,9 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
         return jax.lax.cond(rel, heavy, lambda st: st, state)
 
-    state = (m, s, acc)
+    state = (m, s, acc, count)
     state = jax.lax.fori_loop(0, n_sph, sphere_geo_body, state)
-    m, s, acc = jax.lax.fori_loop(0, n_pl, plane_geo_body, state)
+    m, s, acc, count = jax.lax.fori_loop(0, n_pl, plane_geo_body, state)
     inv_s = 1.0 / s
     depth = acc[0] * inv_s
 
@@ -878,72 +908,117 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     py_b = oy + dy * depth
     pz_b = oz + dz * depth
 
+    # Occluder culling (mirrors the backward kernel): the sigmoid-free
+    # constraint bound says whether this occluder can block any ray in the
+    # tile by more than ~1e-7; only then evaluate the 4-sigmoid
+    # transmittance. Most objects shadow nothing for most tiles.
+    rel_floor = -16.0 / fns.shadow_ks
+
     def sh_sphere_body(k, vis):
-        return vis * fns.shadow_sphere_f(
-            sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
-            sph_ref[P.S_R, k], px_b, py_b, pz_b)
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+
+        def heavy(v):
+            return v * fns.shadow_sphere_f(*geo, px_b, py_b, pz_b)
+
+        if not cull:
+            return heavy(vis)
+        rel = jnp.max(fns.shadow_sphere_args(*geo, px_b, py_b, pz_b)) > rel_floor
+        return jax.lax.cond(rel, heavy, lambda v: v, vis)
 
     def sh_plane_body(k, vis):
-        return vis * fns.shadow_plane_f(
-            pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
-            pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
-            pl_ref[P.P_HW, k], pl_ref[P.P_HH, k], px_b, py_b, pz_b)
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+
+        def heavy(v):
+            return v * fns.shadow_plane_f(*geo, px_b, py_b, pz_b)
+
+        if not cull:
+            return heavy(vis)
+        rel = jnp.max(fns.shadow_plane_args(*geo, px_b, py_b, pz_b)) > rel_floor
+        return jax.lax.cond(rel, heavy, lambda v: v, vis)
 
     vis = jnp.ones((bh, bw), jnp.float32)
     vis = jax.lax.fori_loop(0, n_sph, sh_sphere_body, vis)
     vis = jax.lax.fori_loop(0, n_pl, sh_plane_body, vis)
 
-    # ---- sweep 2: clamped shaded-color blend with the final (m, s).
-    zero = jnp.zeros((bh, bw), jnp.float32)
-    rgb_dv = (zero,) * 6  # (r, g, b, dvis_r, dvis_g, dvis_b)
+    # ---- color blend: A/B accumulators + clamp correction from the cache
+    # when it held every culled-in object; exact re-walk on overflow.
+    def from_cache(_):
+        def corr_body(slot, carry):
+            t_eff = cache_ref[slot, 0]
+            w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+            out = list(carry)
+            for c in range(3):
+                a_c = cache_ref[slot, 1 + c]
+                b_c = cache_ref[slot, 4 + c]
+                val = a_c + vis * b_c
+                over = val >= 255.0
+                out[c] = out[c] + w * jnp.where(over, val - 255.0, 0.0)
+                out[3 + c] = out[3 + c] + w * jnp.where(over, b_c, 0.0)
+            return tuple(out)
 
-    def shade_accumulate(carry, t_eff, col, point, normal):
-        w = jnp.exp(-t_eff * inv_tau - m) * inv_s
-        parts = fns.shade_parts(*col, *point, *normal, dx, dy, dz)
-        out = []
-        for c in range(3):
-            a_c, b_c = parts[c]
-            val = a_c + vis * b_c
-            gate = (val < 255.0).astype(jnp.float32)
-            out.append(carry[c] + w * jnp.minimum(255.0, val))
-            out.append(carry[3 + c] + w * b_c * gate)
-        return (out[0], out[2], out[4], out[1], out[3], out[5])
+        corr = jax.lax.fori_loop(0, count, corr_body, (zero,) * 6)
+        a_rgb = tuple(acc[4 + c] * inv_s for c in range(3))
+        b_rgb = tuple(acc[7 + c] * inv_s for c in range(3))
+        return (a_rgb[0] + vis * b_rgb[0] - corr[0],
+                a_rgb[1] + vis * b_rgb[1] - corr[1],
+                a_rgb[2] + vis * b_rgb[2] - corr[2],
+                b_rgb[0] - corr[3], b_rgb[1] - corr[4], b_rgb[2] - corr[5])
 
-    def sphere_col_body(k, carry):
-        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
-               sph_ref[P.S_R, k])
+    def clamp_fallback(_):
+        rgb_dv = (zero,) * 6  # (r, g, b, dvis_r, dvis_g, dvis_b)
 
-        def heavy(c):
-            t_eff, _, nx, ny, nz, hx, hy, hz = fns.sphere_geo(
-                *geo, dx, dy, dz, ox, oy, oz)
-            col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
-            return shade_accumulate(c, t_eff, col, (hx, hy, hz), (nx, ny, nz))
+        def shade_accumulate(carry, t_eff, col, point, normal):
+            w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+            parts = fns.shade_parts(*col, *point, *normal, dx, dy, dz)
+            out = []
+            for c in range(3):
+                a_c, b_c = parts[c]
+                val = a_c + vis * b_c
+                gate = (val < 255.0).astype(jnp.float32)
+                out.append(carry[c] + w * jnp.minimum(255.0, val))
+                out.append(carry[3 + c] + w * b_c * gate)
+            return (out[0], out[2], out[4], out[1], out[3], out[5])
 
-        if not cull:
-            return heavy(carry)
-        lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS  # final m: exact
-        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+        def sphere_col_body(k, carry):
+            geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+                   sph_ref[P.S_R, k])
 
-    def plane_col_body(k, carry):
-        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
-               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
-               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+            def heavy(c):
+                t_eff, _, nx, ny, nz, hx, hy, hz = fns.sphere_geo(
+                    *geo, dx, dy, dz, ox, oy, oz)
+                col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
+                return shade_accumulate(c, t_eff, col, (hx, hy, hz), (nx, ny, nz))
 
-        def heavy(c):
-            t_eff, _, nx, ny, nz, hx, hy, hz = fns.plane_geo(
-                *geo, dx, dy, dz, ox, oy, oz)
-            col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
-            return shade_accumulate(c, t_eff, col, (hx, hy, hz), (nx, ny, nz))
+            if not cull:
+                return heavy(carry)
+            lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+            rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS  # final m: exact
+            return jax.lax.cond(rel, heavy, lambda c: c, carry)
 
-        if not cull:
-            return heavy(carry)
-        lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
-        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+        def plane_col_body(k, carry):
+            geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+                   pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+                   pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
 
-    rgb_dv = jax.lax.fori_loop(0, n_sph, sphere_col_body, rgb_dv)
-    rgb_dv = jax.lax.fori_loop(0, n_pl, plane_col_body, rgb_dv)
+            def heavy(c):
+                t_eff, _, nx, ny, nz, hx, hy, hz = fns.plane_geo(
+                    *geo, dx, dy, dz, ox, oy, oz)
+                col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
+                return shade_accumulate(c, t_eff, col, (hx, hy, hz), (nx, ny, nz))
+
+            if not cull:
+                return heavy(carry)
+            lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+            rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+            return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+        rgb_dv = jax.lax.fori_loop(0, n_sph, sphere_col_body, rgb_dv)
+        return jax.lax.fori_loop(0, n_pl, plane_col_body, rgb_dv)
+
+    rgb_dv = jax.lax.cond(count <= max_cache, from_cache, clamp_fallback, 0)
 
     out_ref[SO_R] = rgb_dv[0]
     out_ref[SO_G] = rgb_dv[1]
@@ -976,13 +1051,26 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
     # config.shadows selects the shadowed kernel pair and widens the saved
     # statistics from 10 to 14 planes (vis + d(rgb)/d(vis)).
     n_out = N_PLANES_SH if config.shadows else N_PLANES
-    fwd_body = _soft_sh_fwd_body if config.shadows else _soft_fwd_body
     bwd_body = _soft_sh_bwd_body if config.shadows else _soft_bwd_body
 
+    if config.shadows:
+        # VMEM object cache for the shadowed forward's clamp correction:
+        # 7 planes (t_eff, A_rgb, B_rgb) per slot, ~7 MB budget out of the
+        # ~16 MB scoped VMEM (the out block + carried accumulators take
+        # the rest). Tiles with more culled-in objects than slots fall
+        # back to the exact re-walk inside the kernel.
+        max_cache = max(2, min(24, (7 * 2**20) // (7 * bh * bw * 4)))
+        fwd_kernel = functools.partial(_soft_sh_fwd_body, config, tau, bh,
+                                       bw, fwd_cull, max_cache)
+        fwd_scratch = [pltpu.VMEM((max_cache, 7, bh, bw), jnp.float32)]
+    else:
+        fwd_kernel = functools.partial(_soft_fwd_body, config, tau, bh, bw,
+                                       fwd_cull)
+        fwd_scratch = []
+
     def fwd_call(sph, pl_, cam):
-        kernel = functools.partial(fwd_body, config, tau, bh, bw, fwd_cull)
         return pl.pallas_call(
-            kernel,
+            fwd_kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -992,6 +1080,7 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
             out_specs=pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_out, Hp, Wp), jnp.float32),
+            scratch_shapes=fwd_scratch,
             interpret=interpret,
         )(cam, sph, pl_)
 
@@ -1093,6 +1182,7 @@ def _render_soft_pallas_jit(scene, camera, *, config, tau, bh, bw, interpret,
         shading=normal[..., 0],
         hit=hit,
         coverage=hit.astype(jnp.float32),
+        alpha=out[SO_ALPHA],
     )
 
 

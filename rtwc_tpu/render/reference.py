@@ -49,6 +49,11 @@ class Framebuffer:
     #                    fraction under supersampling, so the heads can show
     #                    the AA blend on any partially-covered silhouette
     #                    cell while glyph fg/bg decisions keep using `hit`)
+    alpha: jax.Array    # [H, W]    f32 in [0,1]: soft hit probability
+    #                    (1 - softmin background weight) on the soft paths -
+    #                    the differentiable silhouette channel used by
+    #                    coarse-to-fine fitting (render/anneal.py); equals
+    #                    `hit` as float on the hard paths
 
 
 def intersect_spheres(origin: jax.Array, dirs: jax.Array, spheres: Spheres):
@@ -297,6 +302,7 @@ def downsample_framebuffer(fb: Framebuffer, ss: int) -> Framebuffer:
         shading=pool(fb.shading * hit_mask),
         hit=hitf >= 0.5,
         coverage=hitf,
+        alpha=pool(fb.alpha),
     )
 
 
@@ -313,4 +319,5 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Framebuf
     rgb = shade(scene, origin, dirs, t, normal, color, config)
     hit = t <= config.far
     return Framebuffer(rgb=rgb, normal=normal, depth=t, shading=shading, hit=hit,
-                       coverage=hit.astype(jnp.float32))
+                       coverage=hit.astype(jnp.float32),
+                       alpha=hit.astype(jnp.float32))

@@ -228,4 +228,4 @@ def render_frame_soft(
         normal = hard.normal + (normal - jax.lax.stop_gradient(normal))
     hit = depth <= config.far * (1.0 - 1e-4)
     return Framebuffer(rgb=rgb, normal=normal, depth=depth, shading=normal[..., 0], hit=hit,
-                       coverage=hit.astype(jnp.float32))
+                       coverage=hit.astype(jnp.float32), alpha=alpha)

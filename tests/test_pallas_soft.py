@@ -167,6 +167,59 @@ def test_shadow_grads_match_jnp():
     _assert_close_tree(gj[1].rot, gp[1].rot, what="camera rot", **kw)
 
 
+def test_shadow_forward_saturating_clamp_fallback():
+    """Specular-saturated lighting: bright tiles have objects with
+    A_k + B_k >= 255, which must trip the clamp-fallback re-walk inside
+    the fused shadowed forward (the no_clamp closed form would be wrong
+    here). Forward AND gradients must still match the jnp renderer."""
+    cfg = CFG_SH.replace(light_specular_power=3e5, light_diffuse_power=2e4)
+    scene, cam = _scene_shadowed(), default_camera()
+    fb_ref = render_frame_soft(scene, cam, cfg, tau=TAU)
+    fb_pal = render_frame_soft_pallas(scene, cam, cfg, tau=TAU)
+    assert (np.asarray(fb_ref.rgb) >= 254.5).any(), "clamp never fired"
+    np.testing.assert_allclose(np.asarray(fb_pal.rgb), np.asarray(fb_ref.rgb),
+                               atol=2e-2, rtol=1e-4)
+
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+
+    def mk(render):
+        def loss(sc):
+            fb = render(sc, cam, cfg, tau=TAU)
+            return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+        return loss
+
+    gj = jax.grad(mk(render_frame_soft))(scene)
+    gp = jax.grad(mk(render_frame_soft_pallas))(scene)
+    _assert_close_tree(gj.spheres.center, gp.spheres.center,
+                       what="sphere centers (saturated)", atol=5e-6)
+    _assert_close_tree(gj.spheres.color, gp.spheres.color,
+                       what="sphere colors (saturated)", atol=5e-6)
+
+
+def test_shadow_forward_cache_overflow_rewalk():
+    """More culled-in objects in one tile than the VMEM object cache holds
+    (max_cache <= 24): the kernel must take the exact re-walk fallback and
+    still match the jnp renderer."""
+    rng = np.random.default_rng(3)
+    s = empty_scene(32, 2)
+    for _ in range(30):  # all in frame, overlapping -> no tile culls them
+        s = add_sphere(s, float(rng.uniform(2.0, 4.0)),
+                       (float(rng.uniform(-4, 4)), float(rng.uniform(-2, 2)),
+                        float(rng.uniform(18, 30))),
+                       tuple(float(c) for c in rng.uniform(30, 220, 3)),
+                       speed=1.0)
+    cfg = CFG_SH.replace(max_spheres=32)
+    cam = default_camera()
+    fb_ref = render_frame_soft(s, cam, cfg, tau=TAU)
+    fb_pal = render_frame_soft_pallas(s, cam, cfg, tau=TAU)
+    np.testing.assert_allclose(np.asarray(fb_pal.rgb), np.asarray(fb_ref.rgb),
+                               atol=5e-2, rtol=1e-4)
+    # 30 overlapping objects stack ~8x more softmin terms than the other
+    # scenes; online-vs-batch summation order costs ~1.5e-4 relative.
+    np.testing.assert_allclose(np.asarray(fb_pal.depth),
+                               np.asarray(fb_ref.depth), atol=2e-3, rtol=3e-4)
+
+
 def test_shadow_occluder_gets_grad_through_shadow_only():
     """An occluder OUTSIDE the view frustum still receives gradients via
     the shadow term alone - the capability the hard renderer cannot have."""
