@@ -1,17 +1,40 @@
-"""Inverse rendering demo (BASELINE config 3): recover perturbed sphere
-geometry and camera pose from a target image by gradient descent through
-the fused Pallas fwd+bwd kernels.
+"""Inverse rendering demo (BASELINE config 3): recover sphere geometry and
+camera pose from a SHARP target image by coarse-to-fine annealed gradient
+descent through the fused Pallas fwd+bwd kernels.
 
 The reference renderer (CUDA, RayTracing.cu) cannot do any of this - its
 closest-hit logic is branch-hard. Here d(pixel)/d(geometry, pose) exists
-everywhere (render/softmin.py design note), so fitting a scene to an image
-is ~40 lines.
+everywhere (render/softmin.py design note), and the temperature schedule
+(render/anneal.py; SURVEY.md section 7's "temperature schedule" hard part)
+lets the fit END at display-sharp settings (tau = 0.05) where a
+sharp-from-the-start fit stalls: coarse tau widens the silhouette pull-in
+range to ~16*tau/penalty world units, then each stage restarts from the
+previous solution.
+
+Two phases, because the joint problem is gauge-degenerate (a camera
+rotation offset compensates correlated sphere shifts, so "recover both
+at once from one image" has a flat valley of wrong-but-consistent
+solutions - with known geometry OR known pose each subproblem is
+well-posed):
+
+  A. geometry: camera known, perturbed sphere centers recovered to
+     sub-pixel REPROJECTION error (the image-plane displacement of the
+     projected center; depth along the view ray is measured through the
+     projected-size error, since a farther sphere of the same radius is
+     the same silhouette scale change);
+  B. camera: geometry known, perturbed rotation recovered to below one
+     pixel's angular size.
+
+An IoU silhouette loss on the soft alpha channel (Framebuffer.alpha)
+augments the RGB loss at coarse stages - the overlap term attracts
+displaced silhouettes long before RGB gradients see them - and drops out
+at the sharp final stage.
 
 Usage:
-    python examples/inverse_render.py [--steps 200] [--width 320] [--height 180]
+    python examples/inverse_render.py [--steps 300] [--width 320] [--height 180]
 
-Prints the loss curve and the final parameter errors; optionally renders
-before/after ASCII previews with --preview.
+Prints the per-stage losses and final sub-pixel errors; exit 0 iff both
+phases converge sub-pixel.
 """
 from __future__ import annotations
 
@@ -27,8 +50,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from rtwc_tpu.camera import Camera, default_camera
+from rtwc_tpu.camera import Camera, basis, default_camera, projection_elements
 from rtwc_tpu.config import RenderConfig
+from rtwc_tpu.render.anneal import AnnealSchedule
 from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
 from rtwc_tpu.scene import add_plane, add_sphere, empty_scene
 
@@ -46,79 +70,139 @@ def build(width: int, height: int):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--steps", type=int, default=300, help="steps per phase")
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--height", type=int, default=180)
-    p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--tau0", type=float, default=20.0,
+                   help="coarsest temperature of the anneal ladder")
+    p.add_argument("--tau", type=float, default=0.05,
+                   help="final display-sharp temperature (target rendered here)")
+    p.add_argument("--anneal", type=int, default=5, help="ladder stages")
     p.add_argument("--lr", type=float, default=3e-2)
+    p.add_argument("--w-sil", type=float, default=1.0,
+                   help="IoU silhouette loss weight at coarse stages")
     p.add_argument("--perturb", type=float, default=1.5)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     cfg, true_scene = build(args.width, args.height)
+    e1, e2 = projection_elements(cfg)
+    W, H = cfg.width, cfg.height
+    sched = AnnealSchedule(n_stages=args.anneal, tau0=args.tau0, tau1=args.tau)
+    stages = list(sched.configs(cfg))
     true_cam = Camera(pos=jnp.asarray(default_camera().pos),
                       rot=jnp.asarray(default_camera().rot))
-    target = render_frame_soft_pallas(true_scene, true_cam, cfg, tau=args.tau).rgb
-    target = jax.lax.stop_gradient(target)
+    fb_t = render_frame_soft_pallas(true_scene, true_cam, stages[-1][1],
+                                    tau=stages[-1][0])
+    target = jax.lax.stop_gradient(fb_t.rgb)
+    target_a = jax.lax.stop_gradient(fb_t.alpha)
+
+    def fit(params0, labels_fn, lr, fit_stages=None):
+        fit_stages = stages if fit_stages is None else fit_stages
+        opt = optax.multi_transform(
+            {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels_fn)
+        params, opt_state = params0, None
+        opt_state = opt.init(params)
+
+        def make_step(stage_tau, stage_cfg, w_sil):
+            def loss_fn(p):
+                fb = render_frame_soft_pallas(p[0], p[1], stage_cfg, tau=stage_tau)
+                loss = jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+                if w_sil:
+                    inter = jnp.sum(fb.alpha * target_a)
+                    union = jnp.sum(fb.alpha + target_a - fb.alpha * target_a)
+                    loss = loss + w_sil * (1.0 - inter / jnp.maximum(union, 1e-6))
+                return loss
+
+            @jax.jit
+            def step(p, st):
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, st = opt.update(grads, st, p)
+                return optax.apply_updates(p, updates), st, loss
+
+            return step
+
+        n_stages = len(fit_stages)
+        per = [args.steps // n_stages + (1 if i < args.steps % n_stages else 0)
+               for i in range(n_stages)]
+        for si, ((stage_tau, stage_cfg), n) in enumerate(zip(fit_stages, per)):
+            w_sil = args.w_sil if si < n_stages - 1 else 0.0
+            step = make_step(stage_tau, stage_cfg, w_sil)
+            for _ in range(n):
+                params, opt_state, loss = step(params, opt_state)
+            print(f"  stage tau={stage_tau:7.3f}  loss {float(loss):.6f}",
+                  flush=True)
+        return params, float(loss)
+
+    def project_px(cam, pts):
+        """World points -> pixel coordinates under `cam` (camera.py raygen
+        inverted: lateral NDC spans +-e1/+-e2 at unit forward depth)."""
+        r, u, f = basis(cam.rot)
+        B = np.stack([np.asarray(r), np.asarray(u), np.asarray(f)])
+        v = (pts - np.asarray(cam.pos)) @ B.T
+        return np.stack([v[:, 0] / v[:, 2] / e1 * (W / 2),
+                         v[:, 1] / v[:, 2] / e2 * (H / 2)], axis=1)
 
     rng = np.random.default_rng(args.seed)
     live = np.asarray(true_scene.spheres.active) > 0.5
+    idx = np.flatnonzero(live)
+    t0 = time.perf_counter()
+
+    # ---- phase A: geometry (camera known) --------------------------------
     noise = rng.normal(0, args.perturb, size=(cfg.max_spheres, 3)).astype(np.float32)
     noise[~live] = 0.0
     bad_scene = true_scene.replace(spheres=true_scene.spheres.replace(
-        center=np.asarray(true_scene.spheres.center) + noise,
-        radius=np.asarray(true_scene.spheres.radius) * np.where(live, 1.2, 1.0).astype(np.float32),
-    ))
-    bad_cam = true_cam.replace(rot=true_cam.rot + jnp.asarray([0.02, -0.03, 0.0]))
+        center=np.asarray(true_scene.spheres.center) + noise))
 
-    def loss_fn(params):
-        scene, cam = params
-        fb = render_frame_soft_pallas(scene, cam, cfg, tau=args.tau)
-        return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
-
-    # Train only centers/radii + camera rotation; freeze the rest.
-    def labels(params):
+    def labels_geo(params):
         scene, cam = params
         slab = jax.tree.map(lambda _: "freeze", scene)
         clab = jax.tree.map(lambda _: "freeze", cam)
-        slab = slab.replace(spheres=slab.spheres.replace(center="train", radius="train"))
+        return (slab.replace(spheres=slab.spheres.replace(center="train")), clab)
+
+    print(f"phase A: recover sphere centers (max perturbation "
+          f"{np.linalg.norm(noise[idx], axis=1).max():.2f} world units)")
+    (fit_scene, _), _ = fit((bad_scene, true_cam), labels_geo, args.lr)
+
+    tp = project_px(true_cam, np.asarray(true_scene.spheres.center)[idx])
+    fp = project_px(true_cam, np.asarray(fit_scene.spheres.center)[idx])
+    reproj = np.linalg.norm(tp - fp, axis=1)
+    z_t = np.asarray(true_scene.spheres.center)[idx, 2]
+    z_f = np.asarray(fit_scene.spheres.center)[idx, 2]
+    radii = np.asarray(true_scene.spheres.radius)[idx]
+    size_px = np.abs(radii / z_f - radii / z_t) / e1 * (W / 2)
+    reproj0 = np.linalg.norm(
+        tp - project_px(true_cam, np.asarray(bad_scene.spheres.center)[idx]), axis=1)
+
+    # ---- phase B: camera pose (geometry known). Pitch/yaw only: the
+    # camera basis has no roll, reference parity (Camera3D.cpp:53-75).
+    bad_cam = true_cam.replace(rot=true_cam.rot + jnp.asarray([0.02, -0.03, 0.0]))
+
+    def labels_cam(params):
+        scene, cam = params
+        slab = jax.tree.map(lambda _: "freeze", scene)
+        clab = jax.tree.map(lambda _: "freeze", cam)
         return (slab, clab.replace(rot="train"))
 
-    opt = optax.multi_transform(
-        {"train": optax.adam(args.lr), "freeze": optax.set_to_zero()}, labels)
-    params = (bad_scene, bad_cam)
-    opt_state = opt.init(params)
+    print("phase B: recover camera rotation (perturbation 0.036 rad)")
+    # The pose subproblem is smooth at any tau; two stages suffice, and
+    # most of the budget goes to polishing at the sharp temperature.
+    (_, fit_cam), _ = fit((true_scene, bad_cam), labels_cam, 1e-2,
+                          fit_stages=stages[-2:])
+    rot_err = np.abs(np.asarray(fit_cam.rot) - np.asarray(true_cam.rot)).max()
+    px_angle = 2.0 * e1 / W  # one pixel's angular size at image center
 
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    t0 = time.perf_counter()
-    loss0 = None
-    for i in range(args.steps):
-        params, opt_state, loss = step(params, opt_state)
-        if i == 0:
-            loss0 = float(loss)
-        if i % max(1, args.steps // 10) == 0 or i == args.steps - 1:
-            print(f"step {i:4d}  loss {float(loss):.6f}", flush=True)
     dt = time.perf_counter() - t0
-
-    fit_scene, fit_cam = params
-    live_idx = np.flatnonzero(live)
-    cerr0 = np.abs(noise[live_idx]).max()
-    cerr = np.abs(np.asarray(fit_scene.spheres.center)[live_idx]
-                  - np.asarray(true_scene.spheres.center)[live_idx]).max()
-    rerr = np.abs(np.asarray(fit_cam.rot) - np.asarray(true_cam.rot)).max()
-    print(f"\n{args.steps} steps in {dt:.1f}s "
-          f"({args.steps * cfg.width * cfg.height / dt / 1e6:.0f} Mrays/s fwd+bwd)")
-    print(f"loss: {loss0:.6f} -> {float(loss):.6f}")
-    print(f"max center error: {cerr0:.3f} -> {cerr:.3f}")
-    print(f"max camera rot error: {rerr:.4f} rad")
-    ok = float(loss) < 0.3 * loss0
-    print("FIT OK" if ok else "FIT DID NOT CONVERGE")
-    return 0 if ok else 1
+    print(f"\n2 x {args.steps} steps in {dt:.1f}s")
+    print(f"phase A reprojection error: {np.round(reproj0, 2)} -> "
+          f"{np.round(reproj, 3)} px; size error {np.round(size_px, 3)} px")
+    print(f"phase B rotation error: {rot_err:.5f} rad "
+          f"({rot_err / px_angle:.2f} pixel-angles)")
+    ok_a = bool((reproj < 1.0).all() and (size_px < 1.0).all())
+    ok_b = bool(rot_err < px_angle)
+    print(f"phase A {'OK (sub-pixel)' if ok_a else 'DID NOT CONVERGE'} | "
+          f"phase B {'OK (sub-pixel)' if ok_b else 'DID NOT CONVERGE'}")
+    return 0 if (ok_a and ok_b) else 1
 
 
 if __name__ == "__main__":

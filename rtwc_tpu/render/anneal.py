@@ -33,20 +33,24 @@ class AnnealSchedule:
     (coarse) to *1 (sharp) value: x_i = x0 * (x1/x0)^(i/(n-1)).
     """
 
-    n_stages: int = 4
-    tau0: float = 0.5
+    n_stages: int = 5
+    tau0: float = 20.0
     tau1: float = 0.05
-    # Miss-penalty magnitude is the KEY coarse knob: a violated hit
-    # constraint Delta costs ~ penalty * |Delta| depth units, so an object
-    # influences pixels out to |Delta| ~ 16 * tau / penalty (softmin weight
-    # floor exp(-16)). penalty0=8, tau0=0.5 -> ~1 world unit of silhouette
-    # pull-in; the sharp end restores the display-tuned penalty.
-    penalty0: float = 8.0
+    # tau is the ONE safe coarse knob. An object influences pixels whose
+    # constraint violation Delta satisfies penalty * Delta < ~16 * tau
+    # (softmin weight floor exp(-16)), so raising tau widens the
+    # silhouette pull-in range; tau0=20, penalty=300 -> ~1 world unit.
+    # Lowering the penalty instead is a trap (measured, round 3): an
+    # object beats the far-plane background logit out to
+    # (far - t_hit) / penalty world units, so penalty=8 paints halos over
+    # the whole image and the fit diverges. Keep penalty (and the hinge
+    # sharpness k) constant unless you know the geometry is near-converged.
+    penalty0: float = 300.0
     penalty1: float = 300.0
     mask_k0: float = 10.0
-    mask_k1: float = 40.0
+    mask_k1: float = 10.0
     shadow_k0: float = 10.0
-    shadow_k1: float = 40.0
+    shadow_k1: float = 10.0
 
     def __post_init__(self):
         if self.n_stages < 1:

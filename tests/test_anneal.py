@@ -17,7 +17,9 @@ def test_stage_endpoints_and_monotonicity():
     masks = [s.stage(i)[2] for i in range(5)]
     shadows = [s.stage(i)[3] for i in range(5)]
     assert math.isclose(taus[0], 0.5) and math.isclose(taus[-1], 0.05)
-    assert math.isclose(pens[0], 8.0) and math.isclose(pens[-1], 300.0)
+    # penalty defaults to CONSTANT (annealing it floods the image with
+    # halos; see AnnealSchedule docstring)
+    assert math.isclose(pens[0], 300.0) and math.isclose(pens[-1], 300.0)
     assert math.isclose(masks[0], 10.0) and math.isclose(masks[-1], 40.0)
     assert math.isclose(shadows[-1], 80.0)
     assert all(a > b for a, b in zip(taus, taus[1:]))       # sharpening
