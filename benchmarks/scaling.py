@@ -38,6 +38,9 @@ def main(argv=None) -> int:
                    help="force an N-virtual-device CPU mesh (topology testing)")
     p.add_argument("--sizes", type=str, default="",
                    help="comma-separated mesh sizes (default: 1,2,4,...,n_devices)")
+    p.add_argument("--shadows", action="store_true",
+                   help="differentiable hard shadows in the train step "
+                        "(the headline bench's full feature set)")
     p.add_argument("--animate", action="store_true",
                    help="tick the sphere physics (update_scene) every step "
                         "inside the sharded train step (BASELINE config 4)")
@@ -67,7 +70,8 @@ def main(argv=None) -> int:
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_spheres=args.spheres, max_planes=4,
-                       soft_miss_penalty=300.0, soft_mask_k=10.0)
+                       soft_miss_penalty=300.0, soft_mask_k=10.0,
+                       shadows=args.shadows)
     scene = random_scene(args.spheres, max_spheres=args.spheres, max_planes=4, seed=0)
     cam = default_camera()
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
@@ -112,7 +116,7 @@ def main(argv=None) -> int:
         "config": {"width": cfg.width, "height": cfg.height,
                    "spheres": args.spheres, "tau": args.tau,
                    "backend": args.backend, "animate": args.animate,
-                   "simulate": args.simulate},
+                   "shadows": args.shadows, "simulate": args.simulate},
         "platform": jax.default_backend(),
         "n_devices": n_dev,
         "results": results,

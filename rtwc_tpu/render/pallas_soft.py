@@ -295,6 +295,51 @@ def _make_object_fns(config: RenderConfig, tau: float):
                                     hh - jnp.abs(ppz - pcz)),
                         dist - t))
 
+    # Split shadow evaluation for the forward sweep: the light ray depends
+    # only on the (blended) hit point, so it hoists out of the object loop
+    # entirely, and the per-occluder quadratic/plane solve produces BOTH
+    # the culling bound (min of the constraint args) and the sigmoid
+    # arguments - one solve instead of the bound+transmittance pair, with
+    # only the 4 sigmoids left under the per-object cond. Exact same math
+    # as shadow_*_f / shadow_*_args (which the backward keeps using for
+    # its per-object vjp replay).
+    def shadow_sphere_pre(scx, scy, scz, r, lr):
+        sdx, sdy, sdz, dist, sox, soy, soz = lr
+        ocx, ocy, ocz = sox - scx, soy - scy, soz - scz
+        b = 2.0 * (sdx * ocx + sdy * ocy + sdz * ocz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * c
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t1 = 0.5 * (-b + sq)
+        t2 = 0.5 * (-b - sq)
+        scale = 1.0 / jnp.maximum(r, 1e-3)
+        args = (disc * scale * scale, t1, t2, dist - t2)
+        min_arg = jnp.minimum(jnp.minimum(args[0], args[3]),
+                              jnp.minimum(t1, t2))
+        return min_arg, args
+
+    def shadow_plane_pre(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, lr):
+        sdx, sdy, sdz, dist, sox, soy, soz = lr
+        denom = sdx * pnx + sdy * pny + sdz * pnz
+        num = (pcx - sox) * pnx + (pcy - soy) * pny + (pcz - soz) * pnz
+        eps = jnp.float32(_FLT_EPSILON)
+        safe = jnp.where(jnp.abs(denom) < eps, -eps, denom)
+        t = num / safe
+        ppx = sox + sdx * t
+        ppz = soz + sdz * t
+        args = (-denom - eps, t, hw - jnp.abs(ppx - pcx),
+                hh - jnp.abs(ppz - pcz), dist - t)
+        min_arg = jnp.minimum(jnp.minimum(args[0], args[1]),
+                              jnp.minimum(jnp.minimum(args[2], args[3]),
+                                          args[4]))
+        return min_arg, args
+
+    def shadow_transmittance(args):
+        block = jnp.float32(1.0)
+        for a in args:
+            block = block * jax.nn.sigmoid(ks * a)
+        return jnp.maximum(1.0 - block, _TRANS_FLOOR)
+
     return types.SimpleNamespace(
         sphere_f=sphere_f, plane_f=plane_f,
         sphere_lb=sphere_lb, plane_lb=plane_lb,
@@ -303,6 +348,10 @@ def _make_object_fns(config: RenderConfig, tau: float):
         shadow_sphere_f=shadow_sphere_f, shadow_plane_f=shadow_plane_f,
         shadow_sphere_args=shadow_sphere_args,
         shadow_plane_args=shadow_plane_args,
+        light_ray=_light_ray,
+        shadow_sphere_pre=shadow_sphere_pre,
+        shadow_plane_pre=shadow_plane_pre,
+        shadow_transmittance=shadow_transmittance,
         shadow_ks=ks,
     )
 
@@ -908,35 +957,40 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     py_b = oy + dy * depth
     pz_b = oz + dz * depth
 
-    # Occluder culling (mirrors the backward kernel): the sigmoid-free
-    # constraint bound says whether this occluder can block any ray in the
-    # tile by more than ~1e-7; only then evaluate the 4-sigmoid
+    # Occluder culling (mirrors the backward kernel): one solve per
+    # occluder yields both the constraint bound and the sigmoid arguments
+    # (the light ray is hoisted out of the loop - it only depends on the
+    # blended hit point); an occluder whose min constraint stays below
+    # -16/ks everywhere blocks < ~1e-7 and skips the 4-sigmoid
     # transmittance. Most objects shadow nothing for most tiles.
     rel_floor = -16.0 / fns.shadow_ks
+    lr = fns.light_ray(px_b, py_b, pz_b)
 
     def sh_sphere_body(k, vis):
-        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
-               sph_ref[P.S_R, k])
+        min_arg, args = fns.shadow_sphere_pre(
+            sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+            sph_ref[P.S_R, k], lr)
 
         def heavy(v):
-            return v * fns.shadow_sphere_f(*geo, px_b, py_b, pz_b)
+            return v * fns.shadow_transmittance(args)
 
         if not cull:
             return heavy(vis)
-        rel = jnp.max(fns.shadow_sphere_args(*geo, px_b, py_b, pz_b)) > rel_floor
+        rel = jnp.max(min_arg) > rel_floor
         return jax.lax.cond(rel, heavy, lambda v: v, vis)
 
     def sh_plane_body(k, vis):
-        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
-               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
-               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+        min_arg, args = fns.shadow_plane_pre(
+            pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+            pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+            pl_ref[P.P_HW, k], pl_ref[P.P_HH, k], lr)
 
         def heavy(v):
-            return v * fns.shadow_plane_f(*geo, px_b, py_b, pz_b)
+            return v * fns.shadow_transmittance(args)
 
         if not cull:
             return heavy(vis)
-        rel = jnp.max(fns.shadow_plane_args(*geo, px_b, py_b, pz_b)) > rel_floor
+        rel = jnp.max(min_arg) > rel_floor
         return jax.lax.cond(rel, heavy, lambda v: v, vis)
 
     vis = jnp.ones((bh, bw), jnp.float32)

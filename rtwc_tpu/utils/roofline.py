@@ -225,15 +225,19 @@ def fwd_ops_per_ray(config, tau: float, n_sph: int, n_pl: int) -> float:
         m, s, acc = state
         inv_s = 1.0 / s
         depth = acc[0] * inv_s
-        # shadow sweep at the blended hit point
+        # shadow sweep at the blended hit point (light ray hoisted out of
+        # the object loop, split solve + transmittance - kernel parity)
         px = o[0] + d[0] * depth
         py = o[1] + d[1] * depth
         pz = o[2] + d[2] * depth
+        lr = fns.light_ray(px, py, pz)
         vis = jnp.float32(1.0)
         for a in sph:
-            vis = vis * fns.shadow_sphere_f(*a[:4], px, py, pz)
+            _, sargs = fns.shadow_sphere_pre(*a[:4], lr)
+            vis = vis * fns.shadow_transmittance(sargs)
         for a in pl_:
-            vis = vis * fns.shadow_plane_f(*a[:8], px, py, pz)
+            _, sargs = fns.shadow_plane_pre(*a[:8], lr)
+            vis = vis * fns.shadow_transmittance(sargs)
         # clamp-correction loop over the object cache (~30 ops/slot)
         carry = (jnp.float32(0.0),) * 6
         for a in sph + pl_:
