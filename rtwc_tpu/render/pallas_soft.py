@@ -383,9 +383,95 @@ def _make_raygen(config: RenderConfig, bh: int, bw: int):
 _CULL_LOG_EPS = -16.0  # max relative softmin weight exp(-16) ~ 1e-7: sub-ULP in f32
 
 
+def _sphere_tile_lists(sph, cam, config: RenderConfig, tau: float,
+                       bh: int, bw: int, grid):
+    """Per-tile sphere work lists: the O(N) -> O(relevant) loop upgrade.
+
+    A cheap cone-vs-sphere test OUTSIDE the kernel decides, per grid tile,
+    which spheres could carry softmin weight > exp(-16) relative to the
+    ALWAYS-present background competitor for ANY ray of the tile; the
+    kernels then loop only over each tile's list (indices via SMEM, one
+    scalar read per object) instead of all N, and the per-ray in-kernel
+    culling bound runs only for listed objects. This is the TPU analogue
+    of a broad-phase acceleration structure - the reference has only its
+    empty Culling kernel stub (RayTracingManager.cu:46-51).
+
+    Exclusion is CONSERVATIVE wrt the kernel's own lb test: an excluded
+    sphere satisfies lb > far + 16*tau everywhere in the tile, i.e. its
+    logit trails even the background's by > 16, identical to the weight
+    floor the in-kernel culling already applies.
+      - geometric: a missed ray pays penalty mp * (d_perp^2 - r^2) / r^2,
+        so irrelevance needs d_perp > r * sqrt(1 + (far + 16 tau)/mp)
+        =: r_eff; over the tile's ray cone d_perp >= dist * sin(angle
+        between the center direction and the cone, floored at 0);
+      - behind/inside: the t2-penalty only guarantees irrelevance beyond
+        (far + 16 tau)/mp of the origin, so anything nearer is kept.
+
+    Returns an int32 [n_tiles, NS + 1] table: slot 0 = list length, then
+    the sphere indices compacted to the front (never overflows: the table
+    row holds all NS). Differentiation-neutral (computed under
+    stop_gradient; excluded spheres have sub-floor weights and thus
+    sub-ULP cotangents by the same bound the in-kernel culling relies on).
+    """
+    from rtwc_tpu.camera import projection_elements
+
+    W, H = config.width, config.height
+    e1, e2 = projection_elements(config)
+    Ti, Tj = grid
+    sph = jax.lax.stop_gradient(sph)
+    cam = jax.lax.stop_gradient(cam)
+    mp = config.soft_miss_penalty
+    reach = (config.far + 16.0 * tau) / mp
+
+    # Tile corner rays (padded tile extent - conservative for edge tiles).
+    row0 = cam[0, C_ROW0]
+    r_lo = row0 + jnp.arange(Ti, dtype=jnp.float32) * bh          # [Ti]
+    c_lo = jnp.arange(Tj, dtype=jnp.float32) * bw                 # [Tj]
+    rr = jnp.stack([r_lo, r_lo + bh - 1.0], -1)                   # [Ti, 2]
+    cc = jnp.stack([c_lo, c_lo + bw - 1.0], -1)                   # [Tj, 2]
+    vy = (H - 2.0 * rr) / H * e2                                  # [Ti, 2]
+    vx = (2.0 * cc - W) / W * e1                                  # [Tj, 2]
+    right = cam[0, 3:6]
+    up = cam[0, 6:9]
+    fwd = cam[0, 9:12]
+    # d = vx * right + vy * up + fwd for the 4 corner combinations
+    d = (vx[None, :, None, :, None] * right
+         + vy[:, None, :, None, None] * up
+         + fwd)                                                   # [Ti,Tj,2,2,3]
+    d = d.reshape(Ti, Tj, 4, 3)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    axis = jnp.sum(d, axis=2)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)   # [Ti,Tj,3]
+    cos_cone = jnp.min(jnp.einsum("tjk,tjck->tjc", axis, d), axis=-1)
+    cone = jnp.arccos(jnp.clip(cos_cone, -1.0, 1.0))              # [Ti,Tj]
+
+    centers = sph[P.S_CX:P.S_CZ + 1].T                            # [NS, 3]
+    radius = sph[P.S_R]
+    active = sph[P.S_ACTIVE] > 0.5
+    origin = cam[0, 0:3]
+    v = centers - origin
+    dist = jnp.linalg.norm(v, axis=-1)
+    u = v / jnp.maximum(dist, 1e-12)[:, None]
+    r_eff = radius * jnp.sqrt(1.0 + (config.far + 16.0 * tau) / mp)
+    cosang = jnp.einsum("tjk,nk->tjn", axis, u)
+    ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))                 # [Ti,Tj,NS]
+    alpha = jnp.arcsin(jnp.clip(r_eff / jnp.maximum(dist, 1e-12), 0.0, 1.0))
+    geom = ang <= cone[..., None] + alpha[None, None, :]
+    near = dist <= r_eff + reach                                  # behind/inside
+    incl = (geom | near[None, None, :]) & active[None, None, :]
+    incl = incl.reshape(Ti * Tj, -1)                              # [T, NS]
+
+    order = jnp.argsort(jnp.where(incl, 0, 1), axis=1, stable=True)
+    count = jnp.sum(incl, axis=1).astype(jnp.int32)
+    table = jnp.concatenate([count[:, None], order.astype(jnp.int32)], axis=1)
+    # [T, 1, NS+1]: Mosaic requires the last two dims of an SMEM block to
+    # equal the array's, so the per-tile selection rides the leading dim.
+    return table[:, None, :]
+
+
 def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                    cull: bool,
-                   cam_ref, sph_ref, pl_ref, out_ref):
+                   cam_ref, sph_ref, pl_ref, lst_ref, out_ref):
     fns = _make_object_fns(config, tau)
     sphere_f, plane_f = fns.sphere_f, fns.plane_f
     sphere_lb, plane_lb = fns.sphere_lb, fns.plane_lb
@@ -426,13 +512,16 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         acc = tuple(a * alpha_ + p * vi for a, vi in zip(acc, v))
         return m_new, s, acc
 
-    # Per-tile object culling: the cheap t_eff lower bound says whether this
-    # object can reach relative softmin weight > exp(_CULL_LOG_EPS) anywhere
-    # in the tile (vs the RUNNING max logit - conservative: m only grows, so
-    # a skip stays a skip under the final normalizer). Only then run the
-    # full intersect + shade + accumulate. Typical tiles see a handful of
-    # the N objects, so the heavy path runs for those alone.
-    def sphere_body(k, state):
+    # Two-level per-tile culling: the sphere loop runs over THIS TILE's
+    # work list (the broad-phase cone prepass, _sphere_tile_lists - one
+    # SMEM scalar read per listed object instead of an O(N) sweep), and
+    # each listed object still passes the cheap t_eff lower-bound test:
+    # can it reach relative softmin weight > exp(_CULL_LOG_EPS) anywhere
+    # in the tile vs the RUNNING max logit (conservative: m only grows, so
+    # a skip stays a skip under the final normalizer)? Only then run the
+    # full intersect + shade + accumulate.
+    def sphere_body(jj, state):
+        k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
 
@@ -467,10 +556,10 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
         return jax.lax.cond(rel, heavy, lambda st: st, state)
 
-    n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
+    n_live = lst_ref[0, 0, 0]
     n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
     state = (m, s, acc)
-    state = jax.lax.fori_loop(0, n_sph, sphere_body, state)
+    state = jax.lax.fori_loop(0, n_live, sphere_body, state)
     m, s, acc = jax.lax.fori_loop(0, n_pl, plane_body, state)
 
     inv_s = 1.0 / s
@@ -487,7 +576,7 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 
 def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
-                   cam_ref, sph_ref, pl_ref, sav_ref, g_ref,
+                   cam_ref, sph_ref, pl_ref, lst_ref, sav_ref, g_ref,
                    dsph_ref, dpl_ref, dcam_ref):
     fns = _make_object_fns(config, tau)
     sphere_f, plane_f = fns.sphere_f, fns.plane_f
@@ -556,11 +645,13 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     sph_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NS), 1)
     pl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
 
-    # Same culling as the forward pass, but against the SAVED final max m -
-    # an exact relevance test: objects below the weight floor contribute
-    # sub-ULP cotangents, so their (expensive) in-kernel vjp replay is
-    # skipped entirely.
-    def sphere_body(k, carry):
+    # Same two-level culling as the forward pass (the tile's broad-phase
+    # work list bounds the loop), with the in-kernel bound tested against
+    # the SAVED final max m - an exact relevance test: objects below the
+    # weight floor contribute sub-ULP cotangents, so their (expensive)
+    # in-kernel vjp replay is skipped entirely.
+    def sphere_body(jj, carry):
+        k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
         lb = sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
@@ -613,14 +704,14 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
         return jax.lax.cond(rel, heavy, lambda c: c, carry)
 
-    n_sph = cam_ref[0, C_NSPH].astype(jnp.int32)
+    n_live = lst_ref[0, 0, 0]
     n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
     zero = jnp.zeros((bh, bw), jnp.float32)
     carry = (zero, zero, zero,
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
              tuple(jnp.zeros((1, NS), jnp.float32) for _ in range(P.SPH_ROWS)),
              tuple(jnp.zeros((1, NP), jnp.float32) for _ in range(P.PL_ROWS)))
-    carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, n_live, sphere_body, carry)
     carry = jax.lax.fori_loop(0, n_pl, plane_body, carry)
     gdx, gdy, gdz, gox, goy, goz, dsph_rows, dpl_rows = carry
 
@@ -636,7 +727,7 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 
 def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
-                      cam_ref, sph_ref, pl_ref, sav_ref, g_ref,
+                      cam_ref, sph_ref, pl_ref, lst_ref, sav_ref, g_ref,
                       dsph_ref, dpl_ref, dcam_ref):
     """Shadowed backward. Three gradient paths compose:
 
@@ -768,7 +859,8 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         return (ct_teff, w * g_rgb[0], w * g_rgb[1], w * g_rgb[2],
                 w * g_depth, w * g_norm[0], w * g_norm[1], w * g_norm[2])
 
-    def sphere_body(k, carry):
+    def sphere_body(jj, carry):
+        k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
         lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
@@ -824,7 +916,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     carry = (ct_px * D, ct_py * D, ct_pz * D,
              jnp.sum(ct_px), jnp.sum(ct_py), jnp.sum(ct_pz),
              dsph0, dpl0)
-    carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, lst_ref[0, 0, 0], sphere_body, carry)
     carry = jax.lax.fori_loop(0, n_pl, plane_body, carry)
     gdx, gdy, gdz, gox, goy, goz, dsph_rows, dpl_rows = carry
 
@@ -841,7 +933,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                       cull: bool, max_cache: int,
-                      cam_ref, sph_ref, pl_ref, out_ref, cache_ref):
+                      cam_ref, sph_ref, pl_ref, lst_ref, out_ref, cache_ref):
     """Shadowed forward: ONE fused geometry+shading sweep with a VMEM
     object cache, the shadow sweep, then a tiny clamp-correction loop.
 
@@ -915,7 +1007,8 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
         return m_new, s, acc, count + 1
 
-    def sphere_geo_body(k, state):
+    def sphere_geo_body(jj, state):
+        k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
         col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
@@ -947,7 +1040,7 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         return jax.lax.cond(rel, heavy, lambda st: st, state)
 
     state = (m, s, acc, count)
-    state = jax.lax.fori_loop(0, n_sph, sphere_geo_body, state)
+    state = jax.lax.fori_loop(0, lst_ref[0, 0, 0], sphere_geo_body, state)
     m, s, acc, count = jax.lax.fori_loop(0, n_pl, plane_geo_body, state)
     inv_s = 1.0 / s
     depth = acc[0] * inv_s
@@ -1036,7 +1129,8 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                 out.append(carry[3 + c] + w * b_c * gate)
             return (out[0], out[2], out[4], out[1], out[3], out[5])
 
-        def sphere_col_body(k, carry):
+        def sphere_col_body(jj, carry):
+            k = lst_ref[0, 0, 1 + jj]
             geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                    sph_ref[P.S_R, k])
 
@@ -1069,7 +1163,7 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
             rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
             return jax.lax.cond(rel, heavy, lambda c: c, carry)
 
-        rgb_dv = jax.lax.fori_loop(0, n_sph, sphere_col_body, rgb_dv)
+        rgb_dv = jax.lax.fori_loop(0, lst_ref[0, 0, 0], sphere_col_body, rgb_dv)
         return jax.lax.fori_loop(0, n_pl, plane_col_body, rgb_dv)
 
     rgb_dv = jax.lax.cond(count <= max_cache, from_cache, clamp_fallback, 0)
@@ -1122,7 +1216,12 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                                        fwd_cull)
         fwd_scratch = []
 
+    # The broad-phase work-list table rides in SMEM one tile-row at a time
+    # (block (1, NS+1) selected by the grid position).
+    Tj = grid[1]
+
     def fwd_call(sph, pl_, cam):
+        lists = _sphere_tile_lists(sph, cam, config, tau, bh, bw, grid)
         return pl.pallas_call(
             fwd_kernel,
             grid=grid,
@@ -1130,16 +1229,20 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, lists.shape[2]),
+                             lambda i, j: (i * Tj + j, 0, 0),
+                             memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_out, Hp, Wp), jnp.float32),
             scratch_shapes=fwd_scratch,
             interpret=interpret,
-        )(cam, sph, pl_)
+        )(cam, sph, pl_, lists)
 
     def bwd_call(sph, pl_, cam, sav, g):
         kernel = functools.partial(bwd_body, config, tau, bh, bw)
+        lists = _sphere_tile_lists(sph, cam, config, tau, bh, bw, grid)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -1147,6 +1250,9 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, lists.shape[2]),
+                             lambda i, j: (i * Tj + j, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
@@ -1168,7 +1274,7 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 jax.ShapeDtypeStruct((1, P.CAM_LEN), jnp.float32),
             ],
             interpret=interpret,
-        )(cam, sph, pl_, sav, g)
+        )(cam, sph, pl_, lists, sav, g)
 
     @jax.custom_vjp
     def soft_packed(sph, pl_, cam):
