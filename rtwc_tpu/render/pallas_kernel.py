@@ -62,7 +62,7 @@ def _pow_int(x: jax.Array, n: int) -> jax.Array:
 
 
 def _ray_kernel_body(config: RenderConfig, bh: int, bw: int,
-                     cam_ref, sph_ref, pl_ref, cnt_ref, out_ref):
+                     cam_ref, sph_ref, pl_ref, cnt_ref, lst_ref, out_ref):
     W, H = config.width, config.height
     e1, e2 = projection_elements(config)
     i = pl.program_id(0)
@@ -108,11 +108,15 @@ def _ray_kernel_body(config: RenderConfig, bh: int, bw: int,
 
     def trace_objects(o3, d3, state, hit_only: bool):
         """Closest-hit sweep over both object tables; with hit_only the
-        sweep only tightens t_best (shadow rays)."""
+        sweep only tightens t_best (shadow rays). Primary rays loop over
+        this tile's broad-phase sphere work list (exact for hard hits: an
+        excluded sphere cannot intersect any tile ray); shadow rays leave
+        the tile's frustum, so they sweep the full table."""
         _ox, _oy, _oz = o3
         _dx, _dy, _dz = d3
 
-        def sphere_body(k, st):
+        def sphere_body(kk, st):
+            k = kk if hit_only else lst_ref[0, 0, 1 + kk]
             t_best, snx, sny, snz, cr, cg, cb = st
             scx = sph_ref[P.S_CX, k]
             scy = sph_ref[P.S_CY, k]
@@ -179,7 +183,8 @@ def _ray_kernel_body(config: RenderConfig, bh: int, bw: int,
             cb = jnp.where(win, pl_ref[P.P_COLB, k], cb)
             return (t_best, snx, sny, snz, cr, cg, cb)
 
-        state = jax.lax.fori_loop(0, cnt_ref[0, 0], sphere_body, state)
+        n_sphere = cnt_ref[0, 0] if hit_only else lst_ref[0, 0, 0]
+        state = jax.lax.fori_loop(0, n_sphere, sphere_body, state)
         state = jax.lax.fori_loop(0, cnt_ref[0, 1], plane_body, state)
         return state
 
@@ -267,12 +272,18 @@ def pallas_render_packed(sph, plane, counts, cam_vec, *, config: RenderConfig,
     in cam_vec[0, C_ROW0] (NDC math still uses the full config resolution)
     - the tile-sharding hook used by dist/mesh.py, mirroring
     render/pallas_soft.py soft_band_packed."""
+    from rtwc_tpu.render.pallas_soft import _sphere_tile_lists
+
     Hp = _round_up(band_h if band_h is not None else config.height, bh)
     Wp = _round_up(config.width, bw)
     # The NDC math uses the true W/H; padded rays fall outside the image
     # and are sliced off after the call.
     grid = (Hp // bh, Wp // bw)
     kernel = functools.partial(_ray_kernel_body, config, bh, bw)
+    # Broad-phase per-tile sphere work lists (exact for hard hits; see
+    # pallas_soft._sphere_tile_lists with hard=True).
+    lists = _sphere_tile_lists(sph, cam_vec, config, 0.0, bh, bw, grid,
+                               hard=True)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -281,11 +292,14 @@ def pallas_render_packed(sph, plane, counts, cam_vec, *, config: RenderConfig,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # spheres (8, NS)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # planes (12, NP)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts (1, 2)
+            pl.BlockSpec((1, 1, lists.shape[2]),
+                         lambda i, j: (i * (Wp // bw) + j, 0, 0),
+                         memory_space=pltpu.SMEM),  # work lists
         ],
         out_specs=pl.BlockSpec((8, bh, bw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, Hp, Wp), jnp.float32),
         interpret=interpret,
-    )(cam_vec, sph, plane, counts)
+    )(cam_vec, sph, plane, counts, lists)
     return out
 
 

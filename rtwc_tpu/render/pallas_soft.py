@@ -384,7 +384,7 @@ _CULL_LOG_EPS = -16.0  # max relative softmin weight exp(-16) ~ 1e-7: sub-ULP in
 
 
 def _sphere_tile_lists(sph, cam, config: RenderConfig, tau: float,
-                       bh: int, bw: int, grid):
+                       bh: int, bw: int, grid, hard: bool = False):
     """Per-tile sphere work lists: the O(N) -> O(relevant) loop upgrade.
 
     A cheap cone-vs-sphere test OUTSIDE the kernel decides, per grid tile,
@@ -421,7 +421,12 @@ def _sphere_tile_lists(sph, cam, config: RenderConfig, tau: float,
     sph = jax.lax.stop_gradient(sph)
     cam = jax.lax.stop_gradient(cam)
     mp = config.soft_miss_penalty
-    reach = (config.far + 16.0 * tau) / mp
+    # hard=True builds lists for the hard closest-hit kernel
+    # (render/pallas_kernel.py): no penalty influence, so a sphere is
+    # irrelevant exactly when no tile ray can geometrically hit it
+    # (r_eff = r, zero behind-origin reach).
+    reach = 0.0 if hard else (config.far + 16.0 * tau) / mp
+    r_scale = 1.0 if hard else jnp.sqrt(1.0 + (config.far + 16.0 * tau) / mp)
 
     # Tile corner rays (padded tile extent - conservative for edge tiles).
     row0 = cam[0, C_ROW0]
@@ -452,7 +457,7 @@ def _sphere_tile_lists(sph, cam, config: RenderConfig, tau: float,
     v = centers - origin
     dist = jnp.linalg.norm(v, axis=-1)
     u = v / jnp.maximum(dist, 1e-12)[:, None]
-    r_eff = radius * jnp.sqrt(1.0 + (config.far + 16.0 * tau) / mp)
+    r_eff = radius * r_scale
     cosang = jnp.einsum("tjk,nk->tjn", axis, u)
     ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))                 # [Ti,Tj,NS]
     alpha = jnp.arcsin(jnp.clip(r_eff / jnp.maximum(dist, 1e-12), 0.0, 1.0))
