@@ -1,4 +1,4 @@
-"""VPU cycle-accounting roofline for the fused Pallas kernels.
+"""Calibrated VPU roofline for the fused Pallas kernels.
 
 BASELINE.md demands "speed-of-light Pallas kernels"; this module turns
 that from an assertion into a number. The per-ray work of the fwd and bwd
@@ -6,27 +6,40 @@ kernels (render/pallas_soft.py) is mechanical to count because every
 per-object closure is a few dozen traced jnp ops: we trace model
 functions that mirror the kernel sweeps (same closures from
 _make_object_fns, same online-softmin accumulate) and walk the jaxpr,
-weighting each element-wise primitive by its measured VPU cost in cycles.
+weighting each element-wise primitive by its MEASURED marginal cost.
 
-Peaks are EMPIRICAL, measured on the target chip (axon "TPU v5 lite", one
-core) with register-resident unrolled chains inside an on-device loop so
-neither HBM nor dispatch latency pollutes the number:
+Every constant below is measured on the target chip by
+scripts/calibrate_roofline.py (axon "TPU v5 lite", 2026-08-21):
+register-resident chains inside a Pallas fori_loop, 32 independent vregs
+of ILP (throughput, not latency), slope-timed across two iteration
+counts so neither the tunnel dispatch floor nor VMEM traffic pollutes
+the number. Unit: FMA-slots. The chip sustains 2.01e12 FMA
+element-ops/s; an op's weight is the measured marginal slowdown of
+inserting it into an FMA stream. Cheap ops (add/mul/max/select) measure
+~0.3 slots - they multi-issue against FMAs; exp measures 0.23 slots
+(hardware-accelerated); the genuinely expensive ops are rsqrt 2.5,
+sqrt 3.8, div 4.5, logistic 5.0.
 
-  - FMA chain (x*a+b): 3.08 Tflop/s f32  = 1 FMA / lane / cycle at
-    1024 lanes x ~1.5 GHz -> the VPU issues ~1.54e12 vector element-ops
-    per second (an FMA counts as one issued op, two flops);
-  - exp: ~0.34e12/s (~4.4 cycles), rsqrt: ~0.245e12/s (~6 cycles);
-  - HBM streaming (read+write, 256 MB array): ~232 GB/s measured through
-    this tunnel (spec 819 GB/s; the measured number is the honest
-    denominator for this environment).
+This makes the model a deliberate LOWER bound on achievable time (an
+optimistic speed of light): marginal costs assume perfect multi-issue
+packing, a mul+add pair is charged 0.33+0.38 < 1 real FMA slot, and the
+jaxpr walk CSE-dedupes repeated subexpressions exactly as Mosaic would.
+Measured time can therefore approach but not legitimately beat it -
+"X% of SOL" numbers from this model are honest (VERDICT r3 missing #1:
+the previous model's guessed weights overcharged exp 19x and
+undercharged the peak 1.3x, so the kernel measured 163% of that model's
+"ceiling").
 
 Utilization semantics: the model counts the UNCULLED per-object work
-(the culling predicate's ~15 ops/ray/object of overhead are excluded, and
-its savings are credited), so reported utilization is "effective" - work
-avoided by per-tile culling counts as if executed, exactly like sparse-
-attention MFU accounting. Values can exceed 100% of the issue-rate peak
-only via mul+add fusion (an FMA is one issued op but the model counts the
-mul and add it replaces as two).
+(the culling predicate's per-object overhead is excluded and its savings
+credited), so `vpu_util` vs an unculled measurement is a true
+utilization, while vs the culled time it is "effective" utilization -
+work avoided by the two-level culling counts as if executed, exactly
+like sparse-attention MFU accounting.
+
+HBM streaming (read+write, 256 MB array): ~232 GB/s measured through
+this tunnel (spec 819 GB/s; the measured number is the honest
+denominator for this environment).
 """
 from __future__ import annotations
 
@@ -34,23 +47,31 @@ import functools
 from typing import Callable
 
 import jax
+import jax.extend.core
 import jax.numpy as jnp
 import numpy as np
 
 # ---------------------------------------------------------------------------
-# Empirical machine constants (axon TPU v5 lite, measured 2026-08; see
-# module docstring for methodology).
-VPU_OPS_PER_S = 1.54e12     # vector element-ops issued / s (FMA = 1 op)
+# Empirical machine constants (axon TPU v5 lite, measured 2026-08-21 by
+# scripts/calibrate_roofline.py; see module docstring for methodology).
+VPU_SLOTS_PER_S = 2.014e12  # sustained FMA element-ops / s (1 slot = 1 FMA)
 HBM_BYTES_PER_S = 232e9     # measured streaming r+w bandwidth
 
-# Per-primitive weights in issue slots ("cycles"). Default 1; transcendentals
-# and divides use the measured multi-pass cost. Shape/layout primitives are
-# free (they vanish into Mosaic register addressing).
+# Per-primitive weights in FMA-slots: the measured MARGINAL cost of the op
+# inserted into an FMA stream (multi-issue packing credited). Unmeasured
+# element-wise primitives default to the cheap-op class (0.4). Shape/layout
+# primitives are free (they vanish into Mosaic register addressing).
+_CHEAP = 0.4
 _WEIGHTS = {
-    "div": 6.0, "rsqrt": 6.0, "sqrt": 6.0,
-    "exp": 4.4, "log": 4.4, "exp2": 4.4, "log2": 4.4,
-    "logistic": 7.0, "tanh": 7.0, "pow": 10.0,
-    "clamp": 2.0,
+    "mul": 0.33, "add": 0.38, "sub": 0.38, "max": 0.26, "min": 0.26,
+    "abs": 0.27, "neg": 0.27,
+    "lt": 0.3, "le": 0.3, "gt": 0.3, "ge": 0.3, "eq": 0.3, "ne": 0.3,
+    "and": 0.3, "or": 0.3, "not": 0.3, "xor": 0.3, "select_n": 0.3,
+    "exp": 0.23, "exp2": 0.23, "log": 0.33, "log2": 0.33,
+    "rsqrt": 2.49, "sqrt": 3.77, "div": 4.46,
+    "logistic": 5.03, "tanh": 0.91,
+    "clamp": 0.52,          # = max + min
+    "pow": 5.0,             # general pow ~ exp+log+mul (integer_pow separate)
 }
 _ZERO = {
     "broadcast_in_dim", "reshape", "squeeze", "transpose", "copy",
@@ -76,8 +97,26 @@ def _inner_jaxprs(eqn):
     return (found or None), None
 
 
+def _leaf_key(eqn, canon):
+    """Hashable CSE key for a leaf eqn (no sub-jaxprs), with invars
+    rewritten through the canonicalization map."""
+
+    def vkey(v):
+        if isinstance(v, jax.extend.core.Literal):
+            return ("lit", str(v.val), str(getattr(v, "aval", "")))
+        return canon.get(v, v)
+
+    try:
+        pkey = tuple(sorted((k, repr(p)) for k, p in eqn.params.items()))
+    except Exception:
+        return None
+    return (eqn.primitive.name, tuple(vkey(v) for v in eqn.invars), pkey)
+
+
 def _count_jaxpr(jaxpr) -> float:
     total = 0.0
+    seen: dict = {}   # CSE: leaf-eqn key -> outvars of first occurrence
+    canon: dict = {}  # var -> canonical var of its deduped producer
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         sub, branches = _inner_jaxprs(eqn)
@@ -89,15 +128,24 @@ def _count_jaxpr(jaxpr) -> float:
             continue
         if name in _ZERO:
             continue
+        # CSE: identical (primitive, canonical inputs, params) eqns are
+        # counted once - Mosaic/XLA dedupe them, the model must too.
+        key = _leaf_key(eqn, canon)
+        if key is not None:
+            if key in seen:
+                for ov, first in zip(eqn.outvars, seen[key]):
+                    canon[ov] = canon.get(first, first)
+                continue
+            seen[key] = tuple(eqn.outvars)
         if name == "integer_pow":
             # repeated squaring: ceil(log2 n) squarings + up to as many muls
             n = abs(int(eqn.params["y"]))
-            w = max(1, 2 * max(0, n.bit_length() - 1))
+            w = _WEIGHTS["mul"] * max(1, 2 * max(0, n.bit_length() - 1))
         elif name.startswith("reduce_") or name in ("argmax", "argmin"):
-            total += max(_prod(v.aval.shape) for v in eqn.invars)
+            total += _CHEAP * max(_prod(v.aval.shape) for v in eqn.invars)
             continue
         else:
-            w = _WEIGHTS.get(name, 1.0)
+            w = _WEIGHTS.get(name, _CHEAP)
         total += w * max(
             (_prod(v.aval.shape) for v in eqn.outvars), default=1.0
         )
@@ -105,7 +153,7 @@ def _count_jaxpr(jaxpr) -> float:
 
 
 def count_vpu_ops(fn: Callable, *args) -> float:
-    """Weighted VPU element-op count of one call of fn (jaxpr walk)."""
+    """Weighted VPU slot count of one call of fn (CSE'd jaxpr walk)."""
     return _count_jaxpr(jax.make_jaxpr(fn)(*args).jaxpr)
 
 
@@ -366,8 +414,9 @@ def soft_step_model(config, tau: float, n_sph: int, n_pl: int) -> dict:
         "ops_per_frame": ops,
         "fwd_ops_per_frame": rays * fwd,
         "hbm_bytes_per_frame": hbm_bytes,
-        "t_compute_bound_s": ops / VPU_OPS_PER_S,
-        "t_fwd_compute_bound_s": rays * fwd / VPU_OPS_PER_S,
+        "t_compute_bound_s": ops / VPU_SLOTS_PER_S,
+        "t_fwd_compute_bound_s": rays * fwd / VPU_SLOTS_PER_S,
+        "t_bwd_compute_bound_s": rays * bwd / VPU_SLOTS_PER_S,
         "t_hbm_bound_s": hbm_bytes / HBM_BYTES_PER_S,
     }
 

@@ -10,13 +10,15 @@ from rtwc_tpu.utils import roofline
 
 def test_count_known_expressions():
     f32 = jnp.float32
-    # x*a + b = one mul + one add = 2 ops
-    assert roofline.count_vpu_ops(lambda x: x * 2.0 + 1.0, f32(3.0)) == 2.0
-    # weighted transcendental
-    assert roofline.count_vpu_ops(lambda x: jnp.exp(x), f32(1.0)) == pytest.approx(4.4)
-    # rsqrt weight
+    w = roofline._WEIGHTS
+    # x*a + b = one mul + one add, at the measured marginal slot costs
     assert roofline.count_vpu_ops(
-        lambda x: jax.lax.rsqrt(x), f32(1.0)) == pytest.approx(6.0)
+        lambda x: x * 2.0 + 1.0, f32(3.0)) == pytest.approx(w["mul"] + w["add"])
+    # calibrated transcendental weights
+    assert roofline.count_vpu_ops(
+        lambda x: jnp.exp(x), f32(1.0)) == pytest.approx(w["exp"])
+    assert roofline.count_vpu_ops(
+        lambda x: jax.lax.rsqrt(x), f32(1.0)) == pytest.approx(w["rsqrt"])
     # shape ops are free
     assert roofline.count_vpu_ops(
         lambda x: jnp.reshape(x, (4, 1)), jnp.ones((2, 2), jnp.float32)) == 0.0
@@ -24,23 +26,40 @@ def test_count_known_expressions():
 
 def test_count_scales_with_elements():
     big = jnp.ones((8, 128), jnp.float32)
-    assert roofline.count_vpu_ops(lambda x: x * 2.0, big) == 8 * 128
+    assert roofline.count_vpu_ops(lambda x: x * 2.0, big) == pytest.approx(
+        roofline._WEIGHTS["mul"] * 8 * 128)
 
 
 def test_count_recurses_into_jit():
     inner = jax.jit(lambda x: x * 2.0 + 1.0)
-    assert roofline.count_vpu_ops(lambda x: inner(x), jnp.float32(1.0)) == 2.0
+    w = roofline._WEIGHTS
+    assert roofline.count_vpu_ops(
+        lambda x: inner(x), jnp.float32(1.0)) == pytest.approx(w["mul"] + w["add"])
+
+
+def test_count_cse_dedupes_repeats():
+    # The same subexpression twice costs the same as once (Mosaic CSEs it);
+    # y = (x*2+1) used twice -> mul+add+add, not 2*(mul+add)+add.
+    w = roofline._WEIGHTS
+
+    def f(x):
+        return (x * 2.0 + 1.0) + (x * 2.0 + 1.0)
+
+    assert roofline.count_vpu_ops(f, jnp.float32(3.0)) == pytest.approx(
+        w["mul"] + 2 * w["add"])
 
 
 def test_integer_pow_repeated_squaring():
-    # x**32 = 5 squarings -> 2 * (bitlength-1) = 10 slots in the model
+    # x**32 = 5 squarings -> 2 * (bitlength-1) = 10 muls in the model
     assert roofline.count_vpu_ops(
-        lambda x: jax.lax.integer_pow(x, 32), jnp.float32(2.0)) == 10.0
+        lambda x: jax.lax.integer_pow(x, 32), jnp.float32(2.0)
+    ) == pytest.approx(10 * roofline._WEIGHTS["mul"])
 
 
 def test_reduce_counts_input_elements():
     x = jnp.ones((4, 8), jnp.float32)
-    assert roofline.count_vpu_ops(lambda x: jnp.max(x), x) == 32.0
+    assert roofline.count_vpu_ops(lambda x: jnp.max(x), x) == pytest.approx(
+        32.0 * roofline._CHEAP)
 
 
 @pytest.mark.parametrize("shadows", [False, True])
