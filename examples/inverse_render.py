@@ -52,6 +52,7 @@ import optax
 
 from rtwc_tpu.camera import Camera, basis, default_camera, projection_elements
 from rtwc_tpu.config import RenderConfig
+from rtwc_tpu.heads.ansi256 import quantize_rgb_ste
 from rtwc_tpu.render.anneal import AnnealSchedule
 from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
 from rtwc_tpu.scene import add_plane, add_sphere, empty_scene
@@ -82,6 +83,12 @@ def main(argv=None) -> int:
     p.add_argument("--w-sil", type=float, default=1.0,
                    help="IoU silhouette loss weight at coarse stages")
     p.add_argument("--perturb", type=float, default=1.5)
+    p.add_argument("--quantized", action="store_true",
+                   help="fit through the ANSI-256-quantized console image: "
+                        "the loss sees only the 256-color frame the terminal "
+                        "shows (heads/ansi256.py quantize_rgb_ste straight-"
+                        "through estimator keeps it differentiable - the "
+                        "head being differentiated is ANSIRGB.h:141-189)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -94,7 +101,13 @@ def main(argv=None) -> int:
                       rot=jnp.asarray(default_camera().rot))
     fb_t = render_frame_soft_pallas(true_scene, true_cam, stages[-1][1],
                                     tau=stages[-1][0])
-    target = jax.lax.stop_gradient(fb_t.rgb)
+    target_rgb = fb_t.rgb
+    if args.quantized:
+        # The target is what the terminal actually displays: the
+        # ANSI-256-quantized frame. (Plain quantization here; the STE is
+        # only needed on the differentiated side.)
+        target_rgb = quantize_rgb_ste(target_rgb)
+    target = jax.lax.stop_gradient(target_rgb)
     target_a = jax.lax.stop_gradient(fb_t.alpha)
 
     def fit(params0, labels_fn, lr, fit_stages=None):
@@ -107,7 +120,8 @@ def main(argv=None) -> int:
         def make_step(stage_tau, stage_cfg, w_sil):
             def loss_fn(p):
                 fb = render_frame_soft_pallas(p[0], p[1], stage_cfg, tau=stage_tau)
-                loss = jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+                rgb = quantize_rgb_ste(fb.rgb) if args.quantized else fb.rgb
+                loss = jnp.mean(((rgb - target) / 255.0) ** 2)
                 if w_sil:
                     inter = jnp.sum(fb.alpha * target_a)
                     union = jnp.sum(fb.alpha + target_a - fb.alpha * target_a)

@@ -54,6 +54,7 @@ struct Printer {
   void loop() {
     std::vector<uint8_t> current;
     std::vector<uint8_t> frame;  // assembled output (reused allocation)
+    std::string last_overlay = "\x01";  // sentinel: first frame always blits
     int print_count = 0;
     auto fps_t0 = Clock::now();
     bool write_dead = false;
@@ -67,9 +68,7 @@ struct Printer {
       bool got_fresh = false;
       {
         std::unique_lock<std::mutex> lk(mu);
-        // Wake on a fresh frame or termination; re-blit the held frame at
-        // ~500 Hz max when nothing new arrives (matches the Python loop's
-        // 2 ms idle sleep, and keeps the FPS overlay fresh).
+        // Wake on a fresh frame or termination (2 ms poll tick).
         cv.wait_for(lk, std::chrono::milliseconds(2),
                     [&] { return fresh || terminate.load(); });
         if (fresh) {
@@ -85,18 +84,32 @@ struct Printer {
         continue;
       }
 
+      char overlay[96];
+      int overlay_n = 0;
+      if (show_fps) {
+        overlay_n = std::snprintf(overlay, sizeof(overlay),
+                                  "\x1b[0mRendering FPS: %8.1f\nPrinting  FPS: %8.1f",
+                                  rendering_fps.load(), printing_fps.load());
+        if (overlay_n < 0) overlay_n = 0;
+      }
+      // Gate the re-blit: when nothing is fresh and the overlay text is
+      // unchanged, writing the identical bytes again at ~500 Hz is pure
+      // wasted terminal bandwidth (the reference does exactly that,
+      // PrintMachine.cpp:257-306 - deliberately not kept). The held frame
+      // re-blits only when the 1 Hz FPS text changes.
+      if (!got_fresh &&
+          last_overlay.compare(0, std::string::npos, overlay,
+                               static_cast<size_t>(overlay_n)) == 0) {
+        continue;
+      }
+
       auto t_start = Clock::now();
       frame.clear();
       static const char kHome[] = "\x1b[H";
       frame.insert(frame.end(), kHome, kHome + 3);
       frame.insert(frame.end(), current.begin(), current.end());
-      if (show_fps) {
-        char overlay[96];
-        int n = std::snprintf(overlay, sizeof(overlay),
-                              "\x1b[0mRendering FPS: %8.1f\nPrinting  FPS: %8.1f",
-                              rendering_fps.load(), printing_fps.load());
-        if (n > 0) frame.insert(frame.end(), overlay, overlay + n);
-      }
+      if (overlay_n > 0) frame.insert(frame.end(), overlay, overlay + overlay_n);
+      last_overlay.assign(overlay, static_cast<size_t>(overlay_n));
       // Whole-frame write (PrintMachine.cpp:290 fwrite); loop over partial
       // writes - terminals can short-write under load.
       const uint8_t* p = frame.data();

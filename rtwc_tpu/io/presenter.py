@@ -144,6 +144,7 @@ class ConsolePresenter:
 
     def _print_loop(self) -> None:
         current = b""
+        last_overlay: bytes | None = None
         fps_t0 = time.perf_counter()
         try:
             while True:
@@ -163,14 +164,26 @@ class ConsolePresenter:
                         break
                     time.sleep(0.002)
                     continue
-                t_start = time.perf_counter()
-                chunks = [_CURSOR_HOME, current]
+                overlay = b""
                 if self._show_fps:
                     overlay = (
                         f"\x1b[0mRendering FPS: {self._rendering_fps:8.1f}\n"
                         f"Printing  FPS: {self._printing_fps:8.1f}"
                     ).encode()
+                if not fresh and overlay == last_overlay:
+                    # Nothing changed since the last blit: re-writing the
+                    # identical bytes at ~500 Hz is pure wasted terminal
+                    # bandwidth (the reference does exactly that,
+                    # PrintMachine.cpp:257-306 - deliberately not kept).
+                    # The held frame re-blits only when the overlay text
+                    # changes (1 Hz FPS updates).
+                    time.sleep(0.002)
+                    continue
+                t_start = time.perf_counter()
+                chunks = [_CURSOR_HOME, current]
+                if overlay:
                     chunks.append(overlay)
+                last_overlay = overlay
                 self._out.write(b"".join(chunks))
                 self._out.flush()
                 self._print_count += 1

@@ -115,9 +115,19 @@ def main() -> int:
         ("grad_sphere_color_rel", gj[0].spheres.color, gp[0].spheres.color, 3e-3),
         ("grad_plane_center_rel", gj[0].planes.center, gp[0].planes.center, 3e-3),
         ("grad_cam_pos_rel", gj[1].pos, gp[1].pos, 3e-3),
-        # camera-rotation cotangents sum f32 contributions from every one
-        # of the 230k rays through two different reduction orders; ~1e-2
-        # relative scatter is the f32 accumulation noise floor here.
+        # 2e-2 is the MEASURED intrinsic floor for this metric, not an
+        # accumulation artifact: the kernel reduces the rotation
+        # cotangents with an error-free two-float tree + Kahan cross-tile
+        # carry (exact to ~1e-15 on-chip), and an f64 study
+        # (scripts/cam_grad_precision.py) shows (a) the sums are
+        # well-conditioned (~5-40) and (b) summing the f32 per-ray
+        # cotangents EXACTLY still scatters ~2e-2: a sub-0.1% population
+        # of silhouette rays resolves its softmin weights differently in
+        # any two f32 programs. Each program computes the correct
+        # gradient of its own f32 loss; the jnp and pallas paths agree to
+        # ~1e-2 ON THE SAME HARDWARE (this check), while either hardware
+        # vs f64 truth scatters further (the per-ray divergence scales
+        # with the platform's transcendental ULPs).
         ("grad_cam_rot_rel", gj[1].rot, gp[1].rot, 2e-2),
     ):
         a = np.asarray(a, np.float64)

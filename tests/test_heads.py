@@ -2,6 +2,7 @@
 table at ANSIRGB.h:39-112,143-176), and encoder round-trip."""
 import re
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -205,3 +206,35 @@ class TestEncoder:
             kind, color, char = map(np.asarray, self._cells(mode))
             stream = encode_frame(kind, color, char)
             assert stream.count(b"\n") == 40
+
+
+def test_quantize_rgb_ste_forward_is_palette_color():
+    """STE head forward = the palette color of the chosen ANSI-256 index
+    (exact ANSIRGB.h:141-189 quantization), SURVEY section 2 row 9."""
+    from rtwc_tpu.heads.ansi256 import (ansi256_from_rgb, quantize_rgb_ste,
+                                        rgb_from_ansi256)
+
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.randint(0, 256, size=(31, 7, 3)).astype(np.float32))
+    out = quantize_rgb_ste(rgb)
+    want = rgb_from_ansi256(ansi256_from_rgb(rgb)).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    # every output triple is an actual palette entry
+    pal = {tuple(c) for c in np.asarray(rgb_from_ansi256(jnp.arange(256)))}
+    flat = np.asarray(out).reshape(-1, 3).astype(np.int64)
+    assert all(tuple(c) in pal for c in flat)
+
+
+def test_quantize_rgb_ste_backward_is_identity():
+    """STE head backward = identity: the quantizer's zero-a.e. jacobian is
+    replaced by I so gradients flow through the console image."""
+    from rtwc_tpu.heads.ansi256 import quantize_rgb_ste
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.uniform(0, 255, size=(5, 4, 3)).astype(np.float32))
+    ct = jnp.asarray(rng.randn(5, 4, 3).astype(np.float32))
+    _, vjp = jax.vjp(quantize_rgb_ste, x)
+    np.testing.assert_array_equal(np.asarray(vjp(ct)[0]), np.asarray(ct))
+    # and through a scalar loss: d/dx sum(q(x)) == ones
+    g = jax.grad(lambda x: jnp.sum(quantize_rgb_ste(x)))(x)
+    np.testing.assert_array_equal(np.asarray(g), np.ones_like(np.asarray(g)))

@@ -248,3 +248,36 @@ def test_inactive_slots_zero_grad():
     gc = np.asarray(g.spheres.center)
     assert (gc[~live] == 0).all()
     assert (np.abs(gc[live]).sum(axis=-1) > 0).all()
+
+
+def test_twofloat_plane_sum():
+    """The compensated plane reduction used for the camera-basis
+    cotangents (pallas_soft._twofloat_plane_sum) is exact to double-float
+    precision on adversarially-scaled inputs, including non-power-of-two
+    widths - where a plain f32 sum carries ~1e-7 relative error."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rtwc_tpu.render.pallas_soft import _twofloat_plane_sum
+
+    def kern(x_ref, o_ref):
+        hi, lo = _twofloat_plane_sum(x_ref[:])
+        o_ref[0, 0] = hi
+        o_ref[0, 1] = lo
+
+    def run(x):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            interpret=jax.default_backend() != "tpu",
+        )(x)
+
+    rng = np.random.RandomState(0)
+    for shape in [(32, 256), (8, 128), (32, 640), (16, 128)]:
+        x = (rng.randn(*shape) * np.exp(rng.randn(*shape) * 4.0)).astype(np.float32)
+        out = np.asarray(run(jnp.asarray(x)))
+        truth = float(np.sum(x.astype(np.float64)))
+        got = float(out[0, 0]) + float(out[0, 1])
+        assert abs(got - truth) <= 1e-10 * abs(truth), (shape, got, truth)
