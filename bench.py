@@ -44,7 +44,8 @@ from rtwc_tpu.camera import camera_rays, default_camera, projection_elements
 from rtwc_tpu.config import RenderConfig
 from rtwc_tpu.render.softmin import trace_soft
 from rtwc_tpu.render.pallas_kernel import render_frame_pallas
-from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
+from rtwc_tpu.render.pallas_soft import (render_frame_soft_pallas,
+                                         render_soft_mse_loss)
 from rtwc_tpu.scene import random_scene
 from rtwc_tpu.utils import roofline
 
@@ -73,11 +74,14 @@ def build_train_loop(cfg: RenderConfig, K: int, tau: float = TAU,
 
     opt = optax.adam(1e-3)
 
+    # Fused-loss path: the MSE cotangents are derived inside the backward
+    # kernel, so the [n_out, H, W] cotangent stack never touches HBM
+    # (render_soft_mse_loss; gradient parity with the generic
+    # render+jnp-MSE path is pinned by tests/test_pallas_soft.py).
     def loss_fn(params, target):
         scene, camera = params
-        fb = render_frame_soft_pallas(scene, camera, cfg, tau=tau, cull=cull,
-                                      bwd_cull=bwd_cull)
-        return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+        return render_soft_mse_loss(scene, camera, target, cfg, tau=tau,
+                                    cull=cull, bwd_cull=bwd_cull)
 
     @jax.jit
     def run(params, opt_state, target):

@@ -168,13 +168,22 @@ def make_sharded_train_step(
             # table grads that chain through pack_scene/pack_camera here.
             from rtwc_tpu.render import pack as _pack
             from rtwc_tpu.render.pallas_soft import (
-                C_NPL, C_NSPH, SO_B, SO_R, soft_band_packed,
+                C_NPL, C_NSPH, SO_B, SO_R, soft_band_mse_loss,
+                soft_band_packed,
             )
 
             sph, pl_, counts = _pack.pack_scene(scene)
             cam = _pack.pack_camera(camera)
             cam = cam.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
             cam = cam.at[0, C_NPL].set(counts[1].astype(jnp.float32))
+            if loss_scale == 1.0 / 255.0:
+                # Standard MSE scaling: take the fused-loss path (the MSE
+                # cotangents are derived inside the backward kernel, no
+                # HBM cotangent stack; parity with the generic path is
+                # pinned by tests/test_pallas_soft.py).
+                return soft_band_mse_loss(sph, pl_, cam, row0, target_band,
+                                          config=config, tau=tau,
+                                          band_h=rows_per)
             out = soft_band_packed(sph, pl_, cam, row0, config=config,
                                    tau=tau, band_h=rows_per)
             rgb = jnp.moveaxis(out[SO_R: SO_B + 1], 0, -1)

@@ -83,6 +83,26 @@ def _kahan_add(ref, idx, val):
     ref[0, idx] = t
 
 
+def _mse_cotangents(config, band_h, bh, bw, i, j, sav_ref, tgt_ref, gbar_ref):
+    """Output cotangents of loss = gbar * mean(((rgb - target)/255)^2)
+    over the VALID (unpadded) pixels, computed in-registers from the
+    saved rgb planes and the target tile - the fused-loss backward path:
+    the [n_out, H, W] cotangent stack (11 of whose planes are zero for an
+    rgb MSE) never exists in HBM. The zero depth/normal/alpha cotangent
+    planes are compile-time constants, so every term they feed
+    const-folds out of the object sweeps."""
+    H = band_h if band_h is not None else config.height
+    W = config.width
+    rows = i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+    cols = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+    mask = ((rows < H) & (cols < W)).astype(jnp.float32)
+    scale = gbar_ref[0, 0] * jnp.float32(2.0 / (255.0 * 255.0 * 3.0 * H * W))
+    g_rgb = tuple(scale * mask * (sav_ref[SO_R + c] - tgt_ref[c])
+                  for c in range(3))
+    zero = jnp.zeros((bh, bw), jnp.float32)
+    return g_rgb, zero, (zero, zero, zero), zero
+
+
 def _make_object_fns(config: RenderConfig, tau: float):
     """Per-object soft intersection + shading closures, exact
     render/softmin.py semantics. All inputs scalars except the ray
@@ -243,6 +263,19 @@ def _make_object_fns(config: RenderConfig, tau: float):
         return (sdx, sdy, sdz, dist,
                 px + sdx * 1e-2, py + sdy * 1e-2, pz + sdz * 1e-2)
 
+    def _blocked(args):
+        """prod_i sigmoid(ks * a_i) via ONE division: sigmoid costs ~5
+        measured FMA-slots on this chip (the divide inside it dominates)
+        while exp costs 0.23, so prod sig(x_i) = 1 / prod(1 + exp(-x_i))
+        replaces n divides with one. Exponents clamp at 20: e^20 ~ 5e8
+        already makes the factor's sigmoid saturate to ~2e-9 (below f32
+        noise, like the saturated sigmoid it replaces) and keeps a
+        4-factor product inside f32 range."""
+        P = jnp.float32(1.0)
+        for a in args:
+            P = P * (1.0 + jnp.exp(jnp.minimum(-ks * a, 20.0)))
+        return 1.0 / P
+
     def shadow_sphere_f(scx, scy, scz, r, px, py, pz):
         """Per-occluder transmittance 1 - block in [_TRANS_FLOOR, 1]."""
         sdx, sdy, sdz, dist, sox, soy, soz = _light_ray(px, py, pz)
@@ -254,9 +287,7 @@ def _make_object_fns(config: RenderConfig, tau: float):
         t1 = 0.5 * (-b + sq)
         t2 = 0.5 * (-b - sq)
         scale = 1.0 / jnp.maximum(r, 1e-3)
-        sig = jax.nn.sigmoid
-        block = (sig(ks * disc * scale * scale)
-                 * sig(ks * t1) * sig(ks * t2) * sig(ks * (dist - t2)))
+        block = _blocked((disc * scale * scale, t1, t2, dist - t2))
         return jnp.maximum(1.0 - block, _TRANS_FLOOR)
 
     def shadow_plane_f(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, px, py, pz):
@@ -268,11 +299,8 @@ def _make_object_fns(config: RenderConfig, tau: float):
         t = num / safe
         ppx = sox + sdx * t
         ppz = soz + sdz * t
-        sig = jax.nn.sigmoid
-        block = (sig(ks * (-denom - eps)) * sig(ks * t)
-                 * sig(ks * (hw - jnp.abs(ppx - pcx)))
-                 * sig(ks * (hh - jnp.abs(ppz - pcz)))
-                 * sig(ks * (dist - t)))
+        block = _blocked((-denom - eps, t, hw - jnp.abs(ppx - pcx),
+                          hh - jnp.abs(ppz - pcz), dist - t))
         return jnp.maximum(1.0 - block, _TRANS_FLOOR)
 
     # Sigmoid-free occlusion bounds for backward-pass culling:
@@ -349,10 +377,7 @@ def _make_object_fns(config: RenderConfig, tau: float):
         return min_arg, args
 
     def shadow_transmittance(args):
-        block = jnp.float32(1.0)
-        for a in args:
-            block = block * jax.nn.sigmoid(ks * a)
-        return jnp.maximum(1.0 - block, _TRANS_FLOOR)
+        return jnp.maximum(1.0 - _blocked(args), _TRANS_FLOOR)
 
     return types.SimpleNamespace(
         sphere_f=sphere_f, plane_f=plane_f,
@@ -768,9 +793,15 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 
 def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
-                   cull: bool,
-                   cam_ref, sph_ref, pl_ref, lst_ref, sav_ref, g_ref,
-                   dsph_ref, dpl_ref, dcam_ref):
+                   cull: bool, mse: bool, band_h: int | None,
+                   cam_ref, sph_ref, pl_ref, lst_ref, sav_ref, *rest):
+    # Generic path: rest = (g_ref, dsph, dpl, dcam) - arbitrary output
+    # cotangents. Fused-MSE path: rest = (tgt_ref, gbar_ref, dsph, dpl,
+    # dcam) - the cotangents are derived in-kernel (_mse_cotangents).
+    if mse:
+        tgt_ref, gbar_ref, dsph_ref, dpl_ref, dcam_ref = rest
+    else:
+        g_ref, dsph_ref, dpl_ref, dcam_ref = rest
     fns = _make_object_fns(config, tau)
     sphere_f, plane_f = fns.sphere_f, fns.plane_f
     sphere_lb, plane_lb = fns.sphere_lb, fns.plane_lb
@@ -804,10 +835,14 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     out_rgb = (sav_ref[SO_R], sav_ref[SO_G], sav_ref[SO_B])
     out_depth = sav_ref[SO_DEPTH]
     out_norm = (sav_ref[SO_NX], sav_ref[SO_NY], sav_ref[SO_NZ])
-    g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
-    g_depth = g_ref[SO_DEPTH]
-    g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
-    g_alpha = g_ref[SO_ALPHA]
+    if mse:
+        g_rgb, g_depth, g_norm, g_alpha = _mse_cotangents(
+            config, band_h, bh, bw, i, j, sav_ref, tgt_ref, gbar_ref)
+    else:
+        g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
+        g_depth = g_ref[SO_DEPTH]
+        g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
+        g_alpha = g_ref[SO_ALPHA]
 
     w_bg = jnp.exp(bg_logit - m) * inv_s
     # S = sum_j w_j (g . v_j) over all competitors incl. background
@@ -935,9 +970,15 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 
 def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
-                      cull: bool,
+                      cull: bool, mse: bool, band_h: int | None,
                       cam_ref, sph_ref, pl_ref, lst_ref, shlst_ref,
-                      sav_ref, g_ref, dsph_ref, dpl_ref, dcam_ref):
+                      sav_ref, *rest):
+    # rest as in _soft_bwd_body: generic (g_ref, ...) or MSE (tgt_ref,
+    # gbar_ref, ...) with in-kernel cotangent derivation.
+    if mse:
+        tgt_ref, gbar_ref, dsph_ref, dpl_ref, dcam_ref = rest
+    else:
+        g_ref, dsph_ref, dpl_ref, dcam_ref = rest
     """Shadowed backward. Three gradient paths compose:
 
       1. value path through vis:  dL/dvis = sum_c g_rgb_c * saved dvis_c
@@ -981,9 +1022,13 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     out_rgb = (sav_ref[SO_R], sav_ref[SO_G], sav_ref[SO_B])
     out_depth = sav_ref[SO_DEPTH]
     out_norm = (sav_ref[SO_NX], sav_ref[SO_NY], sav_ref[SO_NZ])
-    g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
-    g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
-    g_alpha = g_ref[SO_ALPHA]
+    if mse:
+        g_rgb, g_depth0, g_norm, g_alpha = _mse_cotangents(
+            config, band_h, bh, bw, i, j, sav_ref, tgt_ref, gbar_ref)
+    else:
+        g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
+        g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
+        g_alpha = g_ref[SO_ALPHA]
 
     # Path 1: dL/dvis from the saved value-path jacobian planes.
     g_vis = (g_rgb[0] * sav_ref[SO_DVR] + g_rgb[1] * sav_ref[SO_DVG]
@@ -1055,7 +1100,8 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         0, n_pl, sh_plane_body, sh_carry)
 
     ct_d = ct_px * dx + ct_py * dy + ct_pz * dz
-    g_depth = g_ref[SO_DEPTH] + ct_d  # blended depth feeds the shadow point
+    # blended depth feeds the shadow point (MSE has no direct depth cot.)
+    g_depth = (g_depth0 if mse else g_ref[SO_DEPTH]) + ct_d
 
     # Path 3: closed-form softmax vjp (g_depth now carries the shadow term).
     w_bg = jnp.exp(bg_logit - m) * inv_s
@@ -1423,7 +1469,8 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 @functools.lru_cache(maxsize=32)
 def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                        interpret: bool, band_h: int | None = None,
-                       fwd_cull: bool = True, bwd_cull: bool = True):
+                       fwd_cull: bool = True, bwd_cull: bool = True,
+                       mse: bool = False):
     """custom_vjp'd fn(sph [8,NS], pl [12,NP], cam [1,16]) -> [10,Hp,Wp].
 
     band_h renders only that many image rows starting at the row carried in
@@ -1434,7 +1481,15 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
     lists AND the in-kernel bound gates) in the respective kernel - the
     honest no-culling baselines for the benchmark decomposition and the
     roofline's no-credit speed-of-light checks. Production paths keep
-    both True."""
+    both True.
+
+    mse=True returns the FUSED-LOSS train path instead:
+    fn(sph, pl_, cam, tgt [3,Hp,Wp]) -> scalar mean(((rgb-tgt)/255)^2)
+    over the valid pixels, whose custom backward derives the output
+    cotangents in-kernel from the saved planes and the target tile
+    (_mse_cotangents) - the [n_out,H,W] cotangent stack (11 zero planes
+    for an rgb MSE) never touches HBM, and the zero depth/normal/alpha
+    cotangents const-fold out of the object sweeps."""
     Hp = _round_up(band_h if band_h is not None else config.height, bh)
     Wp = _round_up(config.width, bw)
     grid = (Hp // bh, Wp // bw)
@@ -1492,8 +1547,10 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
             interpret=interpret,
         )(*ins)
 
-    def bwd_call(sph, pl_, cam, sav, g):
-        kernel = functools.partial(bwd_body, config, tau, bh, bw, bwd_cull)
+    def bwd_call(sph, pl_, cam, sav, *tail):
+        # tail = (g,) generic | (tgt, gbar) fused-MSE
+        kernel = functools.partial(bwd_body, config, tau, bh, bw, bwd_cull,
+                                   mse, band_h)
         # Backward culling is exact (tested against the saved final m);
         # bwd_cull=False exists only for the no-credit SOL measurement.
         lists = _sphere_tile_lists(sph, cam, config, tau, bh, bw, grid,
@@ -1502,7 +1559,23 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
         if config.shadows:
             ins.append(_shadow_tile_lists(sph, cam, config, bh, bw, grid,
                                           disable=not bwd_cull))
-        ins += [sav, g]
+        n_lists = len(ins) - 3
+        ins += [sav, *tail]
+        if mse:
+            tail_specs = [
+                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # gbar (1, 1)
+            ]
+        else:
+            tail_specs = [
+                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+            ]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -1510,12 +1583,7 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-            ] + [_list_spec(t) for t in ins[3:-2]] + [
-                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + [_list_spec(t) for t in ins[3:3 + n_lists]] + tail_specs,
             out_specs=[
                 # grad tables in VMEM (vector read-modify-write per tile);
                 # camera grads in SMEM (scalar stores only).
@@ -1533,6 +1601,38 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
             ],
             interpret=interpret,
         )(*ins)
+
+    if mse:
+        Hv = band_h if band_h is not None else config.height
+        Wv = config.width
+
+        def loss_of_out(out, tgt):
+            rgb = out[SO_R:SO_B + 1, :Hv, :Wv]
+            return jnp.mean(((rgb - tgt[:, :Hv, :Wv]) / 255.0) ** 2)
+
+        @jax.custom_vjp
+        def soft_mse(sph, pl_, cam, tgt):
+            return loss_of_out(fwd_call(sph, pl_, cam), tgt)
+
+        def mse_fwd(sph, pl_, cam, tgt):
+            out = fwd_call(sph, pl_, cam)
+            return loss_of_out(out, tgt), (sph, pl_, cam, tgt, out)
+
+        def mse_bwd(res, gbar):
+            sph, pl_, cam, tgt, sav = res
+            gb = jnp.reshape(gbar, (1, 1)).astype(jnp.float32)
+            dsph, dpl, dcam2 = bwd_call(sph, pl_, cam, sav, tgt, gb)
+            dcam = (dcam2[0] + dcam2[1])[None, :]
+            # Target cotangent, for completeness: computed in jnp from the
+            # saved rgb; XLA dead-code-eliminates it when (as in every
+            # train loop) the target is not differentiated.
+            gt = -gbar * 2.0 / (255.0 * 255.0 * 3.0 * Hv * Wv) * (
+                sav[SO_R:SO_B + 1, :Hv, :Wv] - tgt[:, :Hv, :Wv])
+            dtgt = jnp.zeros_like(tgt).at[:, :Hv, :Wv].set(gt)
+            return dsph, dpl, dcam, dtgt
+
+        soft_mse.defvjp(mse_fwd, mse_bwd)
+        return soft_mse, (Hp, Wp)
 
     @jax.custom_vjp
     def soft_packed(sph, pl_, cam):
@@ -1581,6 +1681,69 @@ def soft_band_packed(sph, pl_, cam, row0, *, config: RenderConfig, tau: float,
     cam = cam.at[0, C_ROW0].set(jnp.asarray(row0, jnp.float32))
     fn, _ = _build_soft_packed(config, float(tau), bh, bw, interpret, band_h)
     return fn(sph, pl_, cam)[:, :band_h, : config.width]
+
+
+def soft_band_mse_loss(sph, pl_, cam, row0, tgt_band, *,
+                       config: RenderConfig, tau: float, band_h: int,
+                       bh: int | None = None, bw: int | None = None,
+                       interpret: bool | None = None):
+    """Fused-MSE loss of a band of `band_h` image rows starting at traced
+    row `row0`, from pre-packed tables (soft_band_packed's contract):
+    mean(((rgb - tgt_band)/255)^2) over the band, with the cotangents
+    derived inside the backward kernel. tgt_band is [band_h, W, 3]. Used
+    by the tile-sharded train step (dist/mesh.py): per-band means pmean
+    to the global mean."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bh, bw = _pick_tiles(config, bh, bw, band_h)
+    cam = cam.at[0, C_ROW0].set(jnp.asarray(row0, jnp.float32))
+    fn, (Hp, Wp) = _build_soft_packed(config, float(tau), bh, bw, interpret,
+                                      band_h, mse=True)
+    tgt = jnp.moveaxis(tgt_band.astype(jnp.float32), -1, 0)
+    tgt = jnp.pad(tgt, ((0, 0), (0, Hp - band_h), (0, Wp - config.width)))
+    return fn(sph, pl_, cam, tgt)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "tau", "bh", "bw",
+                                             "interpret", "cull", "bwd_cull"))
+def _soft_mse_pallas_jit(scene, camera, target, *, config, tau, bh, bw,
+                         interpret, cull=True, bwd_cull=True):
+    sph, pl_, counts = P.pack_scene(scene)
+    cam = P.pack_camera(camera)
+    cam = cam.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
+    cam = cam.at[0, C_NPL].set(counts[1].astype(jnp.float32))
+    fn, (Hp, Wp) = _build_soft_packed(config, tau, bh, bw, interpret,
+                                      fwd_cull=cull, bwd_cull=bwd_cull,
+                                      mse=True)
+    tgt = jnp.moveaxis(target.astype(jnp.float32), -1, 0)
+    tgt = jnp.pad(tgt, ((0, 0), (0, Hp - config.height),
+                        (0, Wp - config.width)))
+    return fn(sph, pl_, cam, tgt)
+
+
+def render_soft_mse_loss(scene, camera, target, config: RenderConfig,
+                         tau: float | None = None, bh: int | None = None,
+                         bw: int | None = None, interpret: bool | None = None,
+                         cull: bool = True, bwd_cull: bool = True):
+    """Fused-loss training step primitive: mean(((rgb - target)/255)^2)
+    of the soft render, differentiable in scene and camera, with the MSE
+    cotangents derived INSIDE the backward kernel (_mse_cotangents) so
+    the full [n_out, H, W] cotangent stack never exists in HBM. Same
+    gradients as jnp.mean(((render_frame_soft_pallas(...).rgb -
+    target)/255.0)**2) (tests pin the parity); target is [H, W, 3].
+
+    This is the production train-loop path (bench.py headline); use the
+    general render_frame_soft_pallas for arbitrary losses."""
+    tau = config.soft_tau if tau is None else tau
+    if tau <= 0.0:
+        raise ValueError("render_soft_mse_loss needs tau > 0")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bh, bw = _pick_tiles(config, bh, bw)
+    return _soft_mse_pallas_jit(
+        scene, camera, target, config=config, tau=float(tau), bh=bh, bw=bw,
+        interpret=interpret, cull=cull, bwd_cull=bwd_cull,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config", "tau", "bh", "bw",

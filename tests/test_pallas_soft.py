@@ -10,7 +10,7 @@ from rtwc_tpu.camera import Camera, default_camera
 from rtwc_tpu.config import RenderConfig
 from rtwc_tpu.render import render_frame_soft
 from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
-from rtwc_tpu.scene import add_plane, add_sphere, empty_scene
+from rtwc_tpu.scene import add_plane, add_sphere, empty_scene, random_scene
 
 CFG = RenderConfig(width=96, height=32, max_spheres=4, max_planes=2,
                    soft_miss_penalty=300.0, soft_mask_k=10.0)
@@ -281,3 +281,68 @@ def test_twofloat_plane_sum():
         truth = float(np.sum(x.astype(np.float64)))
         got = float(out[0, 0]) + float(out[0, 1])
         assert abs(got - truth) <= 1e-10 * abs(truth), (shape, got, truth)
+
+
+def test_two_level_culling_is_conservative():
+    """Culled (broad-phase work lists + in-kernel bound gates) and fully
+    unculled forwards agree to float noise: every excluded object was
+    genuinely below the softmin weight floor / shadow sigmoid floor, on
+    scenes with spheres scattered in and out of the frustum."""
+    for seed in (0, 7):
+        scene = random_scene(24, max_spheres=24, max_planes=4, seed=seed)
+        cam = default_camera()
+        for shadows in (False, True):
+            cfg = CFG.replace(shadows=shadows, max_spheres=24)
+            fb_c = render_frame_soft_pallas(scene, cam, cfg, tau=TAU, cull=True)
+            fb_n = render_frame_soft_pallas(scene, cam, cfg, tau=TAU, cull=False)
+            np.testing.assert_allclose(np.asarray(fb_c.rgb),
+                                       np.asarray(fb_n.rgb),
+                                       rtol=0, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(fb_c.depth),
+                                       np.asarray(fb_n.depth),
+                                       rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("shadows", [False, True])
+def test_fused_mse_loss_matches_generic(shadows):
+    """render_soft_mse_loss (cotangents derived in-kernel, no HBM
+    cotangent stack) computes the same loss AND the same scene/camera
+    gradients as the generic render + jnp MSE."""
+    from rtwc_tpu.render.pallas_soft import render_soft_mse_loss
+
+    cfg = CFG.replace(shadows=shadows)
+    scene = _scene()
+    cam = Camera(pos=jnp.asarray(default_camera().pos),
+                 rot=jnp.asarray(default_camera().rot))
+    key = jax.random.PRNGKey(1)
+    target = jax.random.uniform(key, (cfg.height, cfg.width, 3)) * 255.0
+
+    def loss_generic(scene, cam):
+        fb = render_frame_soft_pallas(scene, cam, cfg, tau=TAU)
+        return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+
+    def loss_fused(scene, cam):
+        return render_soft_mse_loss(scene, cam, target, cfg, tau=TAU)
+
+    lg, gg = jax.value_and_grad(loss_generic, argnums=(0, 1))(scene, cam)
+    lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(scene, cam)
+    np.testing.assert_allclose(float(lf), float(lg), rtol=1e-6)
+    for a, b, name in (
+        (gg[0].spheres.center, gf[0].spheres.center, "center"),
+        (gg[0].spheres.radius, gf[0].spheres.radius, "radius"),
+        (gg[0].spheres.color, gf[0].spheres.color, "color"),
+        (gg[0].planes.center, gf[0].planes.center, "pcenter"),
+        (gg[1].pos, gf[1].pos, "campos"),
+        (gg[1].rot, gf[1].rot, "camrot"),
+    ):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), np.abs(b).max(), 1e-12)
+        assert np.abs(a - b).max() / scale < 2e-5, (
+            name, np.abs(a - b).max() / scale)
+
+    # and the target cotangent is the (negative) rgb cotangent when asked
+    gt = jax.grad(lambda t: render_soft_mse_loss(scene, cam, t, cfg, tau=TAU))(target)
+    fb = render_frame_soft_pallas(scene, cam, cfg, tau=TAU)
+    want = -2.0 / (255.0 ** 2 * target.size) * (fb.rgb - target)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(want),
+                               rtol=1e-4, atol=1e-12)
