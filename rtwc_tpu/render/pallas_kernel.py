@@ -255,12 +255,15 @@ _BW_CANDIDATES = (640, 512, 384, 256, 128)
 
 def _best_bw(width: int) -> int:
     """Pick the block width minimizing padded (wasted) columns, preferring
-    the largest tile on ties. Measured on v5e at 1080p fwd+bwd: bw=640
-    (1920 = 3 tiles, zero padding) beats bw=512 (pads to 2048) by ~6%."""
+    the SMALLEST tile on ties: narrow tiles subtend the smallest ray cone
+    per tile, so the broad-phase work lists are maximally selective
+    (measured r4 on v5e: (64,128) beats (16,640) by 27% on the hard
+    display kernel at 1080p/20; same effect, larger, on the soft
+    kernels - see pallas_soft._pick_tiles)."""
     def waste(c: int) -> int:
         return _round_up(width, c) - width
 
-    return min(_BW_CANDIDATES, key=lambda c: (waste(c), -c))
+    return min(_BW_CANDIDATES, key=lambda c: (waste(c), c))
 
 
 def pallas_render_packed(sph, plane, counts, cam_vec, *, config: RenderConfig,
@@ -333,7 +336,7 @@ def hard_band_packed(sph, plane, counts, cam_vec, row0, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bw = _best_bw(config.width) if bw is None else min(bw, _round_up(config.width, 128))
-    bh = min(bh or 32, _round_up(band_h, 8))
+    bh = min(bh or 64, _round_up(band_h, 8))
     cam_vec = cam_vec.at[0, C_ROW0].set(jnp.asarray(row0, jnp.float32))
     return pallas_render_packed(
         sph, plane, counts, cam_vec,
@@ -359,7 +362,7 @@ def render_frame_pallas(
     scene: Scene,
     camera: Camera,
     config: RenderConfig,
-    bh: int = 16,
+    bh: int = 64,
     bw: int | None = None,
     interpret: bool | None = None,
 ) -> Framebuffer:

@@ -1656,14 +1656,29 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
     return soft_packed, (Hp, Wp)
 
 
+_BH_CANDIDATES = (96, 128, 160, 192)
+_BW_SOFT_CANDIDATES = (128, 256)
+
+
 def _pick_tiles(config: RenderConfig, bh: int | None, bw: int | None,
                 band_h: int | None = None):
-    # bh=32 measured best for the culled fwd+bwd pair at 1080p on v5e
-    # (bh=64 exceeds the 16 MB scoped-VMEM limit in the backward kernel:
-    # two 10-plane blocks + carried state).
-    bh = bh or 32
-    bw = _best_bw(config.width) if bw is None else min(bw, _round_up(config.width, 128))
-    bh = min(bh, _round_up(band_h if band_h is not None else config.height, 8))
+    # Tall NARROW tiles win for the soft kernels (measured r4, v5e,
+    # benchmarks/tune_soft.py): a ~square 128x128-pixel image patch
+    # subtends the smallest cone per ray, so the broad-phase work lists
+    # (_sphere_tile_lists / _shadow_tile_lists) are maximally selective -
+    # (128,128) beats the old (32,640) default 1.7x at 1080p/20 and 2.5x
+    # at 4K/200 on the shadowed fused train step. Among the candidate
+    # sizes, pick the one minimizing padded waste (prefer smaller on
+    # ties): 1080p -> (160,128), 4K -> (128,128), both measured best.
+    H = band_h if band_h is not None else config.height
+    if bh is None:
+        bh = min(_BH_CANDIDATES, key=lambda c: (_round_up(H, c) - H, c))
+    if bw is None:
+        bw = min(_BW_SOFT_CANDIDATES,
+                 key=lambda c: (_round_up(config.width, c) - config.width, c))
+    else:
+        bw = min(bw, _round_up(config.width, 128))
+    bh = min(bh, _round_up(H, 8))
     return bh, bw
 
 
