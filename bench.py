@@ -237,9 +237,9 @@ def main() -> None:
                          target=target_4k, iters=2)
 
     # Roofline (utils/roofline.py): modeled uncull work vs measured time.
-    model = roofline.soft_step_model(cfg_sh, TAU, 20, 4)
+    model = roofline.soft_step_model(cfg_sh, TAU, 20, 4, fused=True)
     util = roofline.utilization(model, dt_sh)
-    model_4k = roofline.soft_step_model(cfg_4k, TAU, 200, 4)
+    model_4k = roofline.soft_step_model(cfg_4k, TAU, 200, 4, fused=True)
     util_4k = roofline.utilization(model_4k, dt_4k)
     # Direct speed-of-light checks with no culling credit: unculled
     # measured time vs the calibrated model (utils/roofline.py: measured

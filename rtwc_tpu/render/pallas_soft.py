@@ -83,25 +83,6 @@ def _kahan_add(ref, idx, val):
     ref[0, idx] = t
 
 
-def _mse_cotangents(config, band_h, bh, bw, i, j, sav_ref, tgt_ref, gbar_ref):
-    """Output cotangents of loss = gbar * mean(((rgb - target)/255)^2)
-    over the VALID (unpadded) pixels, computed in-registers from the
-    saved rgb planes and the target tile - the fused-loss backward path:
-    the [n_out, H, W] cotangent stack (11 of whose planes are zero for an
-    rgb MSE) never exists in HBM. The zero depth/normal/alpha cotangent
-    planes are compile-time constants, so every term they feed
-    const-folds out of the object sweeps."""
-    H = band_h if band_h is not None else config.height
-    W = config.width
-    rows = i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
-    cols = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
-    mask = ((rows < H) & (cols < W)).astype(jnp.float32)
-    scale = gbar_ref[0, 0] * jnp.float32(2.0 / (255.0 * 255.0 * 3.0 * H * W))
-    g_rgb = tuple(scale * mask * (sav_ref[SO_R + c] - tgt_ref[c])
-                  for c in range(3))
-    zero = jnp.zeros((bh, bw), jnp.float32)
-    return g_rgb, zero, (zero, zero, zero), zero
-
 
 def _make_object_fns(config: RenderConfig, tau: float):
     """Per-object soft intersection + shading closures, exact
@@ -793,15 +774,9 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 
 def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
-                   cull: bool, mse: bool, band_h: int | None,
-                   cam_ref, sph_ref, pl_ref, lst_ref, sav_ref, *rest):
-    # Generic path: rest = (g_ref, dsph, dpl, dcam) - arbitrary output
-    # cotangents. Fused-MSE path: rest = (tgt_ref, gbar_ref, dsph, dpl,
-    # dcam) - the cotangents are derived in-kernel (_mse_cotangents).
-    if mse:
-        tgt_ref, gbar_ref, dsph_ref, dpl_ref, dcam_ref = rest
-    else:
-        g_ref, dsph_ref, dpl_ref, dcam_ref = rest
+                   cull: bool,
+                   cam_ref, sph_ref, pl_ref, lst_ref, sav_ref, g_ref,
+                   dsph_ref, dpl_ref, dcam_ref):
     fns = _make_object_fns(config, tau)
     sphere_f, plane_f = fns.sphere_f, fns.plane_f
     sphere_lb, plane_lb = fns.sphere_lb, fns.plane_lb
@@ -835,14 +810,10 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     out_rgb = (sav_ref[SO_R], sav_ref[SO_G], sav_ref[SO_B])
     out_depth = sav_ref[SO_DEPTH]
     out_norm = (sav_ref[SO_NX], sav_ref[SO_NY], sav_ref[SO_NZ])
-    if mse:
-        g_rgb, g_depth, g_norm, g_alpha = _mse_cotangents(
-            config, band_h, bh, bw, i, j, sav_ref, tgt_ref, gbar_ref)
-    else:
-        g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
-        g_depth = g_ref[SO_DEPTH]
-        g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
-        g_alpha = g_ref[SO_ALPHA]
+    g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
+    g_depth = g_ref[SO_DEPTH]
+    g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
+    g_alpha = g_ref[SO_ALPHA]
 
     w_bg = jnp.exp(bg_logit - m) * inv_s
     # S = sum_j w_j (g . v_j) over all competitors incl. background
@@ -970,15 +941,9 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 
 def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
-                      cull: bool, mse: bool, band_h: int | None,
+                      cull: bool,
                       cam_ref, sph_ref, pl_ref, lst_ref, shlst_ref,
-                      sav_ref, *rest):
-    # rest as in _soft_bwd_body: generic (g_ref, ...) or MSE (tgt_ref,
-    # gbar_ref, ...) with in-kernel cotangent derivation.
-    if mse:
-        tgt_ref, gbar_ref, dsph_ref, dpl_ref, dcam_ref = rest
-    else:
-        g_ref, dsph_ref, dpl_ref, dcam_ref = rest
+                      sav_ref, g_ref, dsph_ref, dpl_ref, dcam_ref):
     """Shadowed backward. Three gradient paths compose:
 
       1. value path through vis:  dL/dvis = sum_c g_rgb_c * saved dvis_c
@@ -1022,13 +987,9 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     out_rgb = (sav_ref[SO_R], sav_ref[SO_G], sav_ref[SO_B])
     out_depth = sav_ref[SO_DEPTH]
     out_norm = (sav_ref[SO_NX], sav_ref[SO_NY], sav_ref[SO_NZ])
-    if mse:
-        g_rgb, g_depth0, g_norm, g_alpha = _mse_cotangents(
-            config, band_h, bh, bw, i, j, sav_ref, tgt_ref, gbar_ref)
-    else:
-        g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
-        g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
-        g_alpha = g_ref[SO_ALPHA]
+    g_rgb = (g_ref[SO_R], g_ref[SO_G], g_ref[SO_B])
+    g_norm = (g_ref[SO_NX], g_ref[SO_NY], g_ref[SO_NZ])
+    g_alpha = g_ref[SO_ALPHA]
 
     # Path 1: dL/dvis from the saved value-path jacobian planes.
     g_vis = (g_rgb[0] * sav_ref[SO_DVR] + g_rgb[1] * sav_ref[SO_DVG]
@@ -1100,8 +1061,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         0, n_pl, sh_plane_body, sh_carry)
 
     ct_d = ct_px * dx + ct_py * dy + ct_pz * dz
-    # blended depth feeds the shadow point (MSE has no direct depth cot.)
-    g_depth = (g_depth0 if mse else g_ref[SO_DEPTH]) + ct_d
+    g_depth = g_ref[SO_DEPTH] + ct_d  # blended depth feeds the shadow point
 
     # Path 3: closed-form softmax vjp (g_depth now carries the shadow term).
     w_bg = jnp.exp(bg_logit - m) * inv_s
@@ -1466,6 +1426,502 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     out_ref[SO_DVB] = rgb_dv[5]
 
 
+def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
+                         cull: bool, max_cache: int, band_h: int | None,
+                         *refs):
+    """ONE-pass fused MSE train kernel: forward render, masked MSE loss,
+    and the FULL backward - per tile, entirely register/VMEM-resident.
+
+    For the rgb-MSE loss the output cotangents are computable the moment
+    a tile's forward finishes (g_rgb = scale * (rgb - target); depth/
+    normal/alpha cotangents are zero), so nothing forces the forward and
+    backward into separate kernels with an HBM round-trip of the
+    [n_out, H, W] plane stack between them. This kernel runs the
+    shadowed (or plain) forward sweeps exactly as _soft_sh_fwd_body /
+    _soft_fwd_body, computes the tile's loss contribution, derives the
+    cotangents in registers, and immediately runs the backward sweeps of
+    _soft_sh_bwd_body / _soft_bwd_body against the still-live state.
+    Only the loss scalar and the tiny gradient tables leave the chip:
+    HBM traffic drops from ~29 planes/step to the target read.
+
+    Gradients are computed at loss-cotangent gbar = 1 and scaled by the
+    caller's gbar in the custom_vjp bwd rule (they are exactly linear in
+    it). Outputs: dsph [8,NS], dpl [12,NP], dcam [2,16] (Kahan rows),
+    loss [2,1] (Kahan sum of per-tile raw sums of ((rgb-t)/255)^2; the
+    wrapper divides by 3*H*W)."""
+    if config.shadows:
+        (cam_ref, sph_ref, pl_ref, lst_ref, shlst_ref, tgt_ref,
+         dsph_ref, dpl_ref, dcam_ref, loss_ref, cache_ref) = refs
+    else:
+        (cam_ref, sph_ref, pl_ref, lst_ref, tgt_ref,
+         dsph_ref, dpl_ref, dcam_ref, loss_ref) = refs
+    fns = _make_object_fns(config, tau)
+    raygen = _make_raygen(config, bh, bw)
+    i, j = pl.program_id(0), pl.program_id(1)
+    NS = sph_ref.shape[1]
+    NP = pl_ref.shape[1]
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _init():
+        dsph_ref[...] = jnp.zeros(dsph_ref.shape, dsph_ref.dtype)
+        dpl_ref[...] = jnp.zeros(dpl_ref.shape, dpl_ref.dtype)
+        for idx in range(P.CAM_LEN):
+            dcam_ref[0, idx] = 0.0
+            dcam_ref[1, idx] = 0.0
+        loss_ref[0, 0] = 0.0
+        loss_ref[1, 0] = 0.0
+
+    ox, oy, oz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    cam9 = tuple(cam_ref[0, idx] for idx in range(3, 12))
+    row0 = cam_ref[0, C_ROW0]
+    dx, dy, dz, vxp, vyp, rinv = raygen.full(i, j, row0, *cam9)
+
+    inv_tau = jnp.float32(1.0 / tau)
+    bg_logit = jnp.float32(-config.far / tau)
+    n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
+    zero = jnp.zeros((bh, bw), jnp.float32)
+    sph_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NS), 1)
+    pl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+
+    # ================= forward =================
+    if config.shadows:
+        # Sweep 1 (geometry softmin + vis-independent shading parts +
+        # VMEM object cache), shadow sweep, clamp correction - the exact
+        # _soft_sh_fwd_body computation, landing in locals.
+        m = jnp.full((bh, bw), bg_logit, jnp.float32)
+        sN = jnp.ones((bh, bw), jnp.float32)
+        acc = (jnp.full((bh, bw), jnp.float32(config.far)),) + (zero,) * 9
+        count = jnp.zeros((), jnp.int32)
+
+        def fused_accumulate(state, geo_out, col):
+            m, sN, acc, count = state
+            t_eff, t_clip, nx, ny, nz, hx, hy, hz = geo_out
+            parts = fns.shade_parts(*col, hx, hy, hz, nx, ny, nz, dx, dy, dz)
+            (ar, br), (ag, bg_), (ab, bb) = parts
+            logit = -t_eff * inv_tau
+            m_new = jnp.maximum(m, logit)
+            e = jnp.exp(-jnp.abs(logit - m))
+            up = logit > m
+            alpha_ = jnp.where(up, e, 1.0)
+            pw = jnp.where(up, 1.0, e)
+            sN = sN * alpha_ + pw
+            vals = (t_clip, nx, ny, nz, ar, ag, ab, br, bg_, bb)
+            acc = tuple(a * alpha_ + pw * vi for a, vi in zip(acc, vals))
+
+            @pl.when(count < max_cache)
+            def _store():
+                cache_ref[count, 0] = t_eff
+                cache_ref[count, 1] = ar + zero
+                cache_ref[count, 2] = ag + zero
+                cache_ref[count, 3] = ab + zero
+                cache_ref[count, 4] = br + zero
+                cache_ref[count, 5] = bg_ + zero
+                cache_ref[count, 6] = bb + zero
+
+            return m_new, sN, acc, count + 1
+
+        def sphere_geo_body(jj, state):
+            k = lst_ref[0, 0, 1 + jj]
+            geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+                   sph_ref[P.S_R, k])
+            col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
+
+            def heavy(st):
+                return fused_accumulate(
+                    st, fns.sphere_geo(*geo, dx, dy, dz, ox, oy, oz), col)
+
+            if not cull:
+                return heavy(state)
+            lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+            rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            return jax.lax.cond(rel, heavy, lambda st: st, state)
+
+        def plane_geo_body(k, state):
+            geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+                   pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+                   pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+            col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
+
+            def heavy(st):
+                return fused_accumulate(
+                    st, fns.plane_geo(*geo, dx, dy, dz, ox, oy, oz), col)
+
+            if not cull:
+                return heavy(state)
+            lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+            rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            return jax.lax.cond(rel, heavy, lambda st: st, state)
+
+        state = (m, sN, acc, count)
+        state = jax.lax.fori_loop(0, lst_ref[0, 0, 0], sphere_geo_body, state)
+        m, sN, acc, count = jax.lax.fori_loop(0, n_pl, plane_geo_body, state)
+        inv_s = 1.0 / sN
+        depth = acc[0] * inv_s
+
+        px_b = ox + dx * depth
+        py_b = oy + dy * depth
+        pz_b = oz + dz * depth
+        rel_floor = -16.0 / fns.shadow_ks
+        lr = fns.light_ray(px_b, py_b, pz_b)
+
+        def sh_sphere_vis(jj, vis):
+            k = shlst_ref[0, 0, 1 + jj]
+            min_arg, args = fns.shadow_sphere_pre(
+                sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+                sph_ref[P.S_R, k], lr)
+
+            def heavy(v):
+                return v * fns.shadow_transmittance(args)
+
+            if not cull:
+                return heavy(vis)
+            rel = jnp.max(min_arg) > rel_floor
+            return jax.lax.cond(rel, heavy, lambda v: v, vis)
+
+        def sh_plane_vis(k, vis):
+            min_arg, args = fns.shadow_plane_pre(
+                pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k], lr)
+
+            def heavy(v):
+                return v * fns.shadow_transmittance(args)
+
+            if not cull:
+                return heavy(vis)
+            rel = jnp.max(min_arg) > rel_floor
+            return jax.lax.cond(rel, heavy, lambda v: v, vis)
+
+        vis = jnp.ones((bh, bw), jnp.float32)
+        vis = jax.lax.fori_loop(0, shlst_ref[0, 0, 0], sh_sphere_vis, vis)
+        vis = jax.lax.fori_loop(0, n_pl, sh_plane_vis, vis)
+
+        def from_cache(_):
+            def corr_body(slot, carry):
+                t_eff = cache_ref[slot, 0]
+                w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+                out = list(carry)
+                for c in range(3):
+                    a_c = cache_ref[slot, 1 + c]
+                    b_c = cache_ref[slot, 4 + c]
+                    val = a_c + vis * b_c
+                    over = val >= 255.0
+                    out[c] = out[c] + w * jnp.where(over, val - 255.0, 0.0)
+                    out[3 + c] = out[3 + c] + w * jnp.where(over, b_c, 0.0)
+                return tuple(out)
+
+            corr = jax.lax.fori_loop(0, count, corr_body, (zero,) * 6)
+            a_rgb = tuple(acc[4 + c] * inv_s for c in range(3))
+            b_rgb = tuple(acc[7 + c] * inv_s for c in range(3))
+            return (a_rgb[0] + vis * b_rgb[0] - corr[0],
+                    a_rgb[1] + vis * b_rgb[1] - corr[1],
+                    a_rgb[2] + vis * b_rgb[2] - corr[2],
+                    b_rgb[0] - corr[3], b_rgb[1] - corr[4], b_rgb[2] - corr[5])
+
+        def clamp_fallback(_):
+            rgb_dv = (zero,) * 6
+
+            def shade_accumulate(carry, t_eff, col, point, normal):
+                w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+                parts = fns.shade_parts(*col, *point, *normal, dx, dy, dz)
+                out = []
+                for c in range(3):
+                    a_c, b_c = parts[c]
+                    val = a_c + vis * b_c
+                    gate = (val < 255.0).astype(jnp.float32)
+                    out.append(carry[c] + w * jnp.minimum(255.0, val))
+                    out.append(carry[3 + c] + w * b_c * gate)
+                return (out[0], out[2], out[4], out[1], out[3], out[5])
+
+            def sphere_col_body(jj, carry):
+                k = lst_ref[0, 0, 1 + jj]
+                geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+                       sph_ref[P.S_R, k])
+
+                def heavy(c):
+                    t_eff, _, nx, ny, nz, hx, hy, hz = fns.sphere_geo(
+                        *geo, dx, dy, dz, ox, oy, oz)
+                    col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k],
+                           sph_ref[P.S_COLB, k])
+                    return shade_accumulate(c, t_eff, col, (hx, hy, hz),
+                                            (nx, ny, nz))
+
+                if not cull:
+                    return heavy(carry)
+                lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+                rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+                return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+            def plane_col_body(k, carry):
+                geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+                       pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+                       pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+
+                def heavy(c):
+                    t_eff, _, nx, ny, nz, hx, hy, hz = fns.plane_geo(
+                        *geo, dx, dy, dz, ox, oy, oz)
+                    col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k],
+                           pl_ref[P.P_COLB, k])
+                    return shade_accumulate(c, t_eff, col, (hx, hy, hz),
+                                            (nx, ny, nz))
+
+                if not cull:
+                    return heavy(carry)
+                lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+                rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+                return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+            rgb_dv = jax.lax.fori_loop(0, lst_ref[0, 0, 0], sphere_col_body,
+                                       rgb_dv)
+            return jax.lax.fori_loop(0, n_pl, plane_col_body, rgb_dv)
+
+        rgb_dv = jax.lax.cond(count <= max_cache, from_cache, clamp_fallback, 0)
+        out_rgb = rgb_dv[:3]
+        dv = rgb_dv[3:]
+        out_depth = depth
+    else:
+        # Plain softmin forward (_soft_fwd_body) - only the rgb blend and
+        # the softmax statistics matter for the MSE cotangents.
+        sphere_f, plane_f = fns.sphere_f, fns.plane_f
+        m = jnp.full((bh, bw), bg_logit, jnp.float32)
+        sN = jnp.ones((bh, bw), jnp.float32)
+        acc = (zero,) * 3
+
+        def accumulate(state, values):
+            m, sN, acc = state
+            t_eff, r_, g_, b_ = values[0], values[1], values[2], values[3]
+            logit = -t_eff * inv_tau
+            m_new = jnp.maximum(m, logit)
+            e = jnp.exp(-jnp.abs(logit - m))
+            up = logit > m
+            alpha_ = jnp.where(up, e, 1.0)
+            pw = jnp.where(up, 1.0, e)
+            sN = sN * alpha_ + pw
+            acc = tuple(a * alpha_ + pw * vi
+                        for a, vi in zip(acc, (r_, g_, b_)))
+            return m_new, sN, acc
+
+        def sphere_body_f(jj, state):
+            k = lst_ref[0, 0, 1 + jj]
+            geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+                   sph_ref[P.S_R, k])
+
+            def heavy(st):
+                vals = sphere_f(
+                    *geo,
+                    sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+                return accumulate(st, vals)
+
+            if not cull:
+                return heavy(state)
+            lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+            rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            return jax.lax.cond(rel, heavy, lambda st: st, state)
+
+        def plane_body_f(k, state):
+            geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+                   pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+                   pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+
+            def heavy(st):
+                vals = plane_f(
+                    *geo,
+                    pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+                return accumulate(st, vals)
+
+            if not cull:
+                return heavy(state)
+            lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+            rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            return jax.lax.cond(rel, heavy, lambda st: st, state)
+
+        state = (m, sN, acc)
+        state = jax.lax.fori_loop(0, lst_ref[0, 0, 0], sphere_body_f, state)
+        m, sN, acc = jax.lax.fori_loop(0, n_pl, plane_body_f, state)
+        inv_s = 1.0 / sN
+        out_rgb = tuple(a * inv_s for a in acc)
+        out_depth = None  # g_depth = 0 and S has no depth term
+
+    # ================= loss + cotangents (gbar = 1) =================
+    H = band_h if band_h is not None else config.height
+    W = config.width
+    rows = i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+    cols = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+    mask = ((rows < H) & (cols < W)).astype(jnp.float32)
+    diff = tuple((out_rgb[c] - tgt_ref[c]) * mask for c in range(3))
+    tile_loss = (jnp.sum(diff[0] * diff[0]) + jnp.sum(diff[1] * diff[1])
+                 + jnp.sum(diff[2] * diff[2])) * jnp.float32(1.0 / 255.0 ** 2)
+    _kahan_add(loss_ref, 0, tile_loss)
+    scale = jnp.float32(2.0 / (255.0 * 255.0 * 3.0 * H * W))
+    g_rgb = tuple(scale * d for d in diff)
+
+    # ================= backward =================
+    if config.shadows:
+        g_vis = g_rgb[0] * dv[0] + g_rgb[1] * dv[1] + g_rgb[2] * dv[2]
+        rel_floor = -16.0 / fns.shadow_ks
+
+        def sh_sphere_body(jj, carry):
+            k = shlst_ref[0, 0, 1 + jj]
+            geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+                   sph_ref[P.S_R, k])
+            rel = jnp.max(fns.shadow_sphere_args(*geo, px_b, py_b, pz_b)) > rel_floor
+
+            def heavy(c):
+                ctx, cty, ctz, dsph, dpl = c
+                f_j, fvjp = jax.vjp(fns.shadow_sphere_f, *geo, px_b, py_b, pz_b)
+                grads = fvjp(g_vis * vis / f_j)
+                onehot = (sph_iota == k).astype(jnp.float32)
+                dsph = tuple(
+                    (a + onehot * grads[row]) if row < 4 else a
+                    for row, a in enumerate(dsph)
+                )
+                return (ctx + grads[4], cty + grads[5], ctz + grads[6],
+                        dsph, dpl)
+
+            if not cull:
+                return heavy(carry)
+            return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+        def sh_plane_body(k, carry):
+            geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+                   pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+                   pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+            rel = jnp.max(fns.shadow_plane_args(*geo, px_b, py_b, pz_b)) > rel_floor
+
+            def heavy(c):
+                ctx, cty, ctz, dsph, dpl = c
+                f_j, fvjp = jax.vjp(fns.shadow_plane_f, *geo, px_b, py_b, pz_b)
+                grads = fvjp(g_vis * vis / f_j)
+                onehot = (pl_iota == k).astype(jnp.float32)
+                dpl = tuple(
+                    (a + onehot * grads[row]) if row < 8 else a
+                    for row, a in enumerate(dpl)
+                )
+                return (ctx + grads[8], cty + grads[9], ctz + grads[10],
+                        dsph, dpl)
+
+            if not cull:
+                return heavy(carry)
+            return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+        sh_carry = (zero, zero, zero,
+                    tuple(jnp.zeros((1, NS), jnp.float32) for _ in range(P.SPH_ROWS)),
+                    tuple(jnp.zeros((1, NP), jnp.float32) for _ in range(P.PL_ROWS)))
+        sh_carry = jax.lax.fori_loop(0, shlst_ref[0, 0, 0], sh_sphere_body,
+                                     sh_carry)
+        ct_px, ct_py, ct_pz, dsph0, dpl0 = jax.lax.fori_loop(
+            0, n_pl, sh_plane_body, sh_carry)
+
+        ct_d = ct_px * dx + ct_py * dy + ct_pz * dz
+        g_depth = ct_d
+        S = (g_rgb[0] * out_rgb[0] + g_rgb[1] * out_rgb[1]
+             + g_rgb[2] * out_rgb[2] + g_depth * out_depth)
+        vis_kw = {"vis": vis}
+        seed = (ct_px * out_depth, ct_py * out_depth, ct_pz * out_depth,
+                jnp.sum(ct_px), jnp.sum(ct_py), jnp.sum(ct_pz),
+                dsph0, dpl0)
+    else:
+        g_depth = zero
+        S = (g_rgb[0] * out_rgb[0] + g_rgb[1] * out_rgb[1]
+             + g_rgb[2] * out_rgb[2])
+        vis_kw = {}
+        seed = (zero, zero, zero,
+                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                tuple(jnp.zeros((1, NS), jnp.float32) for _ in range(P.SPH_ROWS)),
+                tuple(jnp.zeros((1, NP), jnp.float32) for _ in range(P.PL_ROWS)))
+
+    def cotangents(vals):
+        t_eff, r_, g_, b_, t_clip, nx, ny, nz = vals
+        w = jnp.exp(-t_eff * inv_tau - m) * inv_s
+        gdotv = (g_rgb[0] * r_ + g_rgb[1] * g_ + g_rgb[2] * b_
+                 + g_depth * t_clip)
+        dlogit = w * (gdotv - S)
+        ct_teff = -dlogit * inv_tau
+        # Normal/alpha cotangents are zero for the rgb MSE; the zero
+        # plane (a compile-time constant) const-folds out of the vjp.
+        return (ct_teff, w * g_rgb[0], w * g_rgb[1], w * g_rgb[2],
+                w * g_depth, zero, zero, zero)
+
+    def sphere_body(jj, carry):
+        k = lst_ref[0, 0, 1 + jj]
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
+        lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+
+        def heavy(c):
+            gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
+            args = (*geo,
+                    sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+            vals, fvjp = jax.vjp(
+                lambda *a: fns.sphere_f(*a, **vis_kw), *args)
+            grads = fvjp(cotangents(vals))
+            onehot = (sph_iota == k).astype(jnp.float32)
+            dsph = tuple(
+                (a + onehot * grads[row]) if row < 7 else a
+                for row, a in enumerate(dsph)
+            )
+            return (gdx + grads[7], gdy + grads[8], gdz + grads[9],
+                    gox + grads[10], goy + grads[11], goz + grads[12],
+                    dsph, dpl)
+
+        if not cull:
+            return heavy(carry)
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    def plane_body(k, carry):
+        geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
+               pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
+               pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
+        lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
+        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+
+        def heavy(c):
+            gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
+            args = (*geo,
+                    pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k],
+                    dx, dy, dz, ox, oy, oz)
+            vals, fvjp = jax.vjp(
+                lambda *a: fns.plane_f(*a, **vis_kw), *args)
+            grads = fvjp(cotangents(vals))
+            onehot = (pl_iota == k).astype(jnp.float32)
+            dpl = tuple(
+                (a + onehot * grads[row]) if row < 11 else a
+                for row, a in enumerate(dpl)
+            )
+            return (gdx + grads[11], gdy + grads[12], gdz + grads[13],
+                    gox + grads[14], goy + grads[15], goz + grads[16],
+                    dsph, dpl)
+
+        if not cull:
+            return heavy(carry)
+        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+
+    carry = jax.lax.fori_loop(0, lst_ref[0, 0, 0], sphere_body, seed)
+    carry = jax.lax.fori_loop(0, n_pl, plane_body, carry)
+    gdx, gdy, gdz, gox, goy, goz, dsph_rows, dpl_rows = carry
+
+    dsph_ref[...] += jnp.concatenate(dsph_rows, axis=0)
+    dpl_ref[...] += jnp.concatenate(dpl_rows, axis=0)
+
+    sd = gdx * dx + gdy * dy + gdz * dz
+    gps = (rinv * (gdx - dx * sd),
+           rinv * (gdy - dy * sd),
+           rinv * (gdz - dz * sd))
+    for idx, gval in enumerate((gox, goy, goz)):
+        _kahan_add(dcam_ref, idx, gval)
+    for c, gp in enumerate(gps):
+        for k, wplane in enumerate((vxp, vyp, None)):
+            hi, lo = _twofloat_plane_sum(gp if wplane is None else gp * wplane)
+            _kahan_add(dcam_ref, 3 + 3 * c + k, hi)
+            _kahan_add(dcam_ref, 3 + 3 * c + k, lo)
+
+
 @functools.lru_cache(maxsize=32)
 def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                        interpret: bool, band_h: int | None = None,
@@ -1485,11 +1941,14 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
 
     mse=True returns the FUSED-LOSS train path instead:
     fn(sph, pl_, cam, tgt [3,Hp,Wp]) -> scalar mean(((rgb-tgt)/255)^2)
-    over the valid pixels, whose custom backward derives the output
-    cotangents in-kernel from the saved planes and the target tile
-    (_mse_cotangents) - the [n_out,H,W] cotangent stack (11 zero planes
-    for an rgb MSE) never touches HBM, and the zero depth/normal/alpha
-    cotangents const-fold out of the object sweeps."""
+    over the valid pixels, evaluated by the ONE-PASS kernel
+    (_soft_mse_fused_body): forward render, loss, and the full backward
+    per tile with everything register/VMEM-resident - only the loss
+    scalar and the tiny gradient tables touch HBM. The custom_vjp's
+    forward rule runs that kernel at loss-cotangent 1 and the backward
+    rule scales the saved tables by the caller's gbar (gradients are
+    exactly linear in it); a plain un-differentiated call takes the
+    ordinary forward kernel + jnp loss instead (no gradient work)."""
     Hp = _round_up(band_h if band_h is not None else config.height, bh)
     Wp = _round_up(config.width, bw)
     grid = (Hp // bh, Wp // bw)
@@ -1547,10 +2006,8 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
             interpret=interpret,
         )(*ins)
 
-    def bwd_call(sph, pl_, cam, sav, *tail):
-        # tail = (g,) generic | (tgt, gbar) fused-MSE
-        kernel = functools.partial(bwd_body, config, tau, bh, bw, bwd_cull,
-                                   mse, band_h)
+    def bwd_call(sph, pl_, cam, sav, g):
+        kernel = functools.partial(bwd_body, config, tau, bh, bw, bwd_cull)
         # Backward culling is exact (tested against the saved final m);
         # bwd_cull=False exists only for the no-credit SOL measurement.
         lists = _sphere_tile_lists(sph, cam, config, tau, bh, bw, grid,
@@ -1560,22 +2017,13 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
             ins.append(_shadow_tile_lists(sph, cam, config, bh, bw, grid,
                                           disable=not bwd_cull))
         n_lists = len(ins) - 3
-        ins += [sav, *tail]
-        if mse:
-            tail_specs = [
-                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, bh, bw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # gbar (1, 1)
-            ]
-        else:
-            tail_specs = [
-                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM),
-            ]
+        ins += [sav, g]
+        tail_specs = [
+            pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -1605,6 +2053,61 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
     if mse:
         Hv = band_h if band_h is not None else config.height
         Wv = config.width
+        # The one-pass kernel carries the forward sweep state AND the
+        # backward carries simultaneously; trim the object-cache VMEM
+        # budget to leave room (~5 MB cache + ~4 MB live planes at
+        # (128, 128) tiles).
+        fused_cache = max(2, min(24, (5 * 2**20) // (7 * bh * bw * 4)))
+        # One cull switch for the one-pass kernel: the production path
+        # has both on; the no-credit SOL measurement turns both off.
+        fused_cull = fwd_cull and bwd_cull
+
+        def fused_call(sph, pl_, cam, tgt):
+            kernel = functools.partial(_soft_mse_fused_body, config, tau,
+                                       bh, bw, fused_cull, fused_cache,
+                                       band_h)
+            lists = _sphere_tile_lists(sph, cam, config, tau, bh, bw, grid,
+                                       disable=not fused_cull)
+            ins = [cam, sph, pl_, lists]
+            if config.shadows:
+                ins.append(_shadow_tile_lists(sph, cam, config, bh, bw,
+                                              grid, disable=not fused_cull))
+            n_lists = len(ins) - 3
+            ins.append(tgt)
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ] + [_list_spec(t) for t in ins[3:3 + n_lists]] + [
+                    pl.BlockSpec((3, bh, bw), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(sph.shape, lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(pl_.shape, lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, P.CAM_LEN), lambda i, j: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((2, 1), lambda i, j: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(sph.shape, jnp.float32),
+                    jax.ShapeDtypeStruct(pl_.shape, jnp.float32),
+                    jax.ShapeDtypeStruct((2, P.CAM_LEN), jnp.float32),
+                    jax.ShapeDtypeStruct((2, 1), jnp.float32),
+                ],
+                scratch_shapes=(
+                    [pltpu.VMEM((fused_cache, 7, bh, bw), jnp.float32)]
+                    if config.shadows else []),
+                interpret=interpret,
+            )(*ins)
+
+        inv_n = 1.0 / (3.0 * Hv * Wv)
 
         def loss_of_out(out, tgt):
             rgb = out[SO_R:SO_B + 1, :Hv, :Wv]
@@ -1612,21 +2115,30 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
 
         @jax.custom_vjp
         def soft_mse(sph, pl_, cam, tgt):
+            # Un-differentiated call: ordinary forward + jnp loss, no
+            # gradient work (the fused kernel only runs under jax.grad).
             return loss_of_out(fwd_call(sph, pl_, cam), tgt)
 
         def mse_fwd(sph, pl_, cam, tgt):
-            out = fwd_call(sph, pl_, cam)
-            return loss_of_out(out, tgt), (sph, pl_, cam, tgt, out)
+            dsph1, dpl1, dcam2, loss2 = fused_call(sph, pl_, cam, tgt)
+            loss = (loss2[0, 0] + loss2[1, 0]) * inv_n
+            return loss, (dsph1, dpl1, dcam2, sph, pl_, cam, tgt)
 
         def mse_bwd(res, gbar):
-            sph, pl_, cam, tgt, sav = res
-            gb = jnp.reshape(gbar, (1, 1)).astype(jnp.float32)
-            dsph, dpl, dcam2 = bwd_call(sph, pl_, cam, sav, tgt, gb)
-            dcam = (dcam2[0] + dcam2[1])[None, :]
-            # Target cotangent, for completeness: computed in jnp from the
-            # saved rgb; XLA dead-code-eliminates it when (as in every
-            # train loop) the target is not differentiated.
-            gt = -gbar * 2.0 / (255.0 * 255.0 * 3.0 * Hv * Wv) * (
+            dsph1, dpl1, dcam2, sph, pl_, cam, tgt = res
+            # Gradients are linear in the loss cotangent: scale the
+            # gbar=1 tables the one-pass kernel saved.
+            g = jnp.asarray(gbar, jnp.float32)
+            dsph = g * dsph1
+            dpl = g * dpl1
+            dcam = (g * (dcam2[0] + dcam2[1]))[None, :]
+            # Target cotangent, for completeness: needs the rgb planes the
+            # fused kernel never materializes - recompute them with the
+            # ordinary forward. XLA dead-code-eliminates this whole branch
+            # (including the pallas_call) when, as in every train loop,
+            # the target is not differentiated.
+            sav = fwd_call(sph, pl_, cam)
+            gt = -g * 2.0 * inv_n / (255.0 * 255.0) * (
                 sav[SO_R:SO_B + 1, :Hv, :Wv] - tgt[:, :Hv, :Wv])
             dtgt = jnp.zeros_like(tgt).at[:, :Hv, :Wv].set(gt)
             return dsph, dpl, dcam, dtgt

@@ -388,11 +388,20 @@ def bwd_ops_per_ray(config, tau: float, n_sph: int, n_pl: int) -> float:
 
 
 @functools.lru_cache(maxsize=16)
-def soft_step_model(config, tau: float, n_sph: int, n_pl: int) -> dict:
+def soft_step_model(config, tau: float, n_sph: int, n_pl: int,
+                    fused: bool = False) -> dict:
     """Roofline model of one fwd+bwd step of the fused soft kernels.
 
     Returns per-frame totals: weighted VPU ops, HBM bytes, and the
-    compute/memory-bound time estimates at the measured peaks."""
+    compute/memory-bound time estimates at the measured peaks.
+
+    fused=True models the ONE-PASS MSE train kernel
+    (pallas_soft._soft_mse_fused_body): HBM traffic is just the target
+    read (the saved-plane/cotangent stacks never exist). The op model
+    stays the generic-cotangent count, a slight (<5%) overcount of the
+    fused kernel whose zero depth/normal/alpha cotangent terms
+    const-fold - conservative in the right direction for the
+    no-credit speed-of-light checks."""
     from rtwc_tpu.render.pallas_soft import (
         N_PLANES, N_PLANES_SH, _pick_tiles)
     from rtwc_tpu.render.pallas_kernel import _round_up
@@ -404,9 +413,13 @@ def soft_step_model(config, tau: float, n_sph: int, n_pl: int) -> dict:
     rays = Hp * Wp  # the kernel pays for padded tiles
     n_out = N_PLANES_SH if config.shadows else N_PLANES
     plane_bytes = 4 * Hp * Wp * n_out
-    # fwd writes the plane stack; bwd reads it twice (saved + cotangents)
-    # and writes only the tiny grad tables.
-    hbm_bytes = 3 * plane_bytes
+    if fused:
+        # one-pass kernel: reads the padded target, writes the tables.
+        hbm_bytes = 4 * Hp * Wp * 3
+    else:
+        # fwd writes the plane stack; bwd reads it twice (saved +
+        # cotangents) and writes only the tiny grad tables.
+        hbm_bytes = 3 * plane_bytes
     ops = rays * (fwd + bwd)
     return {
         "fwd_ops_per_ray": fwd,
