@@ -12,10 +12,11 @@ differentiable SHADOWED renderer exceeds real-time 1080p training
 throughput on one chip - a bar the interactive reference never attempts
 (its backward pass does not exist, RayTracing.cu has no shadow term).
 
-Headline: the fused Pallas custom-VJP kernels (render/pallas_soft.py) with
-config.shadows=True - the soft-min over objects is computed online inside
-the forward kernel and the backward kernel applies the closed-form softmax
-VJP plus the shadow-sweep VJP, so per-object intermediates never touch HBM.
+Headline: the ONE-PASS fused MSE train kernel (render/pallas_soft.py
+_soft_mse_fused_body) with config.shadows=True - forward sweeps, masked
+loss, and the full backward (closed-form softmax VJP + shadow-sweep VJP)
+run per tile in a single Pallas call with everything register/VMEM
+resident; only the loss scalar and the ~10 KB gradient tables touch HBM.
 
 Secondary entries (stderr + extra JSON fields):
   - unshadowed fwd+bwd (the previous rounds' headline, for continuity);

@@ -30,6 +30,15 @@ the previous model's guessed weights overcharged exp 19x and
 undercharged the peak 1.3x, so the kernel measured 163% of that model's
 "ceiling").
 
+Marginal costs are DENSITY-dependent (measured: exp's marginal rises
+from ~0.2-0.8 slots at 1 exp/FMA to ~1.3 at 4/FMA as the transcendental
+pipe saturates; rsqrt 3.3 -> 3.8). The weights pin the low-density
+(cheapest) values so the lower-bound property holds for any mix; the
+practical consequence is that transcendental-DENSE code reads a lower
+"% of SOL" than it could ever close - the forward sweeps (sqrt/rsqrt/
+exp-heavy geometry) measure ~43% while the FMA-dense backward replay
+reaches ~95% of the same envelope.
+
 Utilization semantics: the model counts the UNCULLED per-object work
 (the culling predicate's per-object overhead is excluded and its savings
 credited), so `vpu_util` vs an unculled measurement is a true
