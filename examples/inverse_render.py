@@ -176,7 +176,15 @@ def main(argv=None) -> int:
 
     print(f"phase A: recover sphere centers (max perturbation "
           f"{np.linalg.norm(noise[idx], axis=1).max():.2f} world units)")
-    (fit_scene, _), _ = fit((bad_scene, true_cam), labels_geo, args.lr)
+    # Cosine-decayed adam: the coarse stages may orbit their optimum
+    # (adam overshoot on steep silhouette bowls); decaying to zero makes
+    # every phase SETTLE by construction instead of handing the next
+    # stage whatever pose the last step happened to land on - without
+    # decay, convergence at these step budgets depends on float-ULP luck
+    # (it flipped when kernel tile defaults changed the target's last
+    # bits).
+    (fit_scene, _), _ = fit((bad_scene, true_cam), labels_geo,
+                            optax.cosine_decay_schedule(args.lr, args.steps))
 
     tp = project_px(true_cam, np.asarray(true_scene.spheres.center)[idx])
     fp = project_px(true_cam, np.asarray(fit_scene.spheres.center)[idx])
@@ -200,8 +208,10 @@ def main(argv=None) -> int:
 
     print("phase B: recover camera rotation (perturbation 0.036 rad)")
     # The pose subproblem is smooth at any tau; two stages suffice, and
-    # most of the budget goes to polishing at the sharp temperature.
-    (_, fit_cam), _ = fit((true_scene, bad_cam), labels_cam, 1e-2,
+    # most of the budget goes to polishing at the sharp temperature
+    # (same cosine decay rationale as phase A).
+    (_, fit_cam), _ = fit((true_scene, bad_cam), labels_cam,
+                          optax.cosine_decay_schedule(5e-3, args.steps),
                           fit_stages=stages[-2:])
     rot_err = np.abs(np.asarray(fit_cam.rot) - np.asarray(true_cam.rot)).max()
     px_angle = 2.0 * e1 / W  # one pixel's angular size at image center
