@@ -116,8 +116,12 @@ def _make_object_fns(config: RenderConfig, tau: float):
         il = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
         inv_d2 = il * il  # 1/d^2 without the divide
         ldx, ldy, ldz = ldx * il, ldy * il, ldz * il
-        inn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
-        nx, ny, nz = nx * inn, ny * inn, nz * inn
+        # Normals arrive UNIT (sphere_geo normalizes per ray; plane_geo
+        # normalizes its per-object scalars): softmin.py's in-shade
+        # normalize is idempotent here, in value AND gradient (the unit-
+        # sphere projection is idempotent), so the per-ray vector rsqrt
+        # it would cost is dropped - the transcendental pipe is the
+        # forward sweep's bottleneck (see utils/roofline.py on density).
         diffuse_i = jnp.clip(nx * ldx + ny * ldy + nz * ldz, 0.0, 1.0)
         dterm = diffuse_i * dpow * inv_d2
         hx, hy, hz = ldx - dx, ldy - dy, ldz - dz
@@ -208,10 +212,19 @@ def _make_object_fns(config: RenderConfig, tau: float):
         p_ = mp * (pen(-denom - eps) + pen(t)
                    + pen(hw - jnp.abs(px - pcx))
                    + pen(hh - jnp.abs(pz - pcz)))
-        nx = pnx + 0.0 * dx   # broadcast to plane shape for uniform vjp
-        ny = pny + 0.0 * dx
-        nz = pnz + 0.0 * dx
+        nx = pnx + 0.0 * dx   # RAW normal broadcast: softmin.py blends the
+        ny = pny + 0.0 * dx   # raw plane normal into the framebuffer
+        nz = pnz + 0.0 * dx   # (shading separately uses plane_unit_n)
         return t_clip + p_, t_clip, nx, ny, nz, px, py, pz
+
+    def plane_unit_n(pnx, pny, pnz):
+        """Unit shading normal from the per-object scalars: ONE scalar
+        rsqrt per object instead of softmin.py's per-ray vector
+        normalize (value- and gradient-identical: the normalize is
+        idempotent and its projection jacobian is idempotent too)."""
+        pn_inv = jax.lax.rsqrt(
+            jnp.maximum(pnx * pnx + pny * pny + pnz * pnz, 1e-20))
+        return pnx * pn_inv, pny * pn_inv, pnz * pn_inv
 
     def sphere_f(scx, scy, scz, r, cr, cg, cb, dx, dy, dz, ox, oy, oz,
                  vis=None):
@@ -224,7 +237,8 @@ def _make_object_fns(config: RenderConfig, tau: float):
                 dx, dy, dz, ox, oy, oz, vis=None):
         t_eff, t_clip, nx, ny, nz, px, py, pz = plane_geo(
             pcx, pcy, pcz, pnx, pny, pnz, hw, hh, dx, dy, dz, ox, oy, oz)
-        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, nx, ny, nz, dx, dy, dz, vis)
+        ux, uy, uz = plane_unit_n(pnx, pny, pnz)
+        r_, g_, b_ = shade(cr, cg, cb, px, py, pz, ux, uy, uz, dx, dy, dz, vis)
         return t_eff, r_, g_, b_, t_clip, nx, ny, nz
 
     # Shadow occluder transmittances (softmin.py _soft_shadow_visibility
@@ -236,9 +250,9 @@ def _make_object_fns(config: RenderConfig, tau: float):
 
     def _light_ray(px, py, pz):
         tlx, tly, tlz = lx - px, ly - py, lz - pz
-        d2 = tlx * tlx + tly * tly + tlz * tlz
-        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-        inv = 1.0 / dist
+        d2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-12)
+        inv = jax.lax.rsqrt(d2)   # one rsqrt replaces sqrt + div
+        dist = d2 * inv
         sdx, sdy, sdz = tlx * inv, tly * inv, tlz * inv
         # self-intersection offset (softmin.py uses 1e-2)
         return (sdx, sdy, sdz, dist,
@@ -364,6 +378,7 @@ def _make_object_fns(config: RenderConfig, tau: float):
         sphere_f=sphere_f, plane_f=plane_f,
         sphere_lb=sphere_lb, plane_lb=plane_lb,
         sphere_geo=sphere_geo, plane_geo=plane_geo,
+        plane_unit_n=plane_unit_n,
         shade_parts=shade_parts,
         shadow_sphere_f=shadow_sphere_f, shadow_plane_f=shadow_plane_f,
         shadow_sphere_args=shadow_sphere_args,
@@ -1218,10 +1233,10 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     acc = (jnp.full((bh, bw), jnp.float32(config.far)),) + (zero,) * 9
     count = jnp.zeros((), jnp.int32)
 
-    def fused_accumulate(state, geo_out, col):
+    def fused_accumulate(state, geo_out, col, sn):
         m, s, acc, count = state
         t_eff, t_clip, nx, ny, nz, hx, hy, hz = geo_out
-        parts = fns.shade_parts(*col, hx, hy, hz, nx, ny, nz, dx, dy, dz)
+        parts = fns.shade_parts(*col, hx, hy, hz, *sn, dx, dy, dz)
         (ar, br), (ag, bg_), (ab, bb) = parts
         logit = -t_eff * inv_tau
         m_new = jnp.maximum(m, logit)
@@ -1253,8 +1268,8 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
 
         def heavy(st):
-            return fused_accumulate(
-                st, fns.sphere_geo(*geo, dx, dy, dz, ox, oy, oz), col)
+            g = fns.sphere_geo(*geo, dx, dy, dz, ox, oy, oz)
+            return fused_accumulate(st, g, col, g[2:5])
 
         if not cull:
             return heavy(state)
@@ -1269,8 +1284,9 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
 
         def heavy(st):
-            return fused_accumulate(
-                st, fns.plane_geo(*geo, dx, dy, dz, ox, oy, oz), col)
+            g = fns.plane_geo(*geo, dx, dy, dz, ox, oy, oz)
+            return fused_accumulate(st, g, col,
+                                    fns.plane_unit_n(*geo[3:6]))
 
         if not cull:
             return heavy(state)
@@ -1397,7 +1413,8 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                 t_eff, _, nx, ny, nz, hx, hy, hz = fns.plane_geo(
                     *geo, dx, dy, dz, ox, oy, oz)
                 col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
-                return shade_accumulate(c, t_eff, col, (hx, hy, hz), (nx, ny, nz))
+                return shade_accumulate(c, t_eff, col, (hx, hy, hz),
+                                        fns.plane_unit_n(*geo[3:6]))
 
             if not cull:
                 return heavy(carry)
@@ -1495,10 +1512,10 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
         acc = (jnp.full((bh, bw), jnp.float32(config.far)),) + (zero,) * 9
         count = jnp.zeros((), jnp.int32)
 
-        def fused_accumulate(state, geo_out, col):
+        def fused_accumulate(state, geo_out, col, sn):
             m, sN, acc, count = state
             t_eff, t_clip, nx, ny, nz, hx, hy, hz = geo_out
-            parts = fns.shade_parts(*col, hx, hy, hz, nx, ny, nz, dx, dy, dz)
+            parts = fns.shade_parts(*col, hx, hy, hz, *sn, dx, dy, dz)
             (ar, br), (ag, bg_), (ab, bb) = parts
             logit = -t_eff * inv_tau
             m_new = jnp.maximum(m, logit)
@@ -1529,8 +1546,8 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
             col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
 
             def heavy(st):
-                return fused_accumulate(
-                    st, fns.sphere_geo(*geo, dx, dy, dz, ox, oy, oz), col)
+                g = fns.sphere_geo(*geo, dx, dy, dz, ox, oy, oz)
+                return fused_accumulate(st, g, col, g[2:5])
 
             if not cull:
                 return heavy(state)
@@ -1545,8 +1562,9 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
             col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
 
             def heavy(st):
-                return fused_accumulate(
-                    st, fns.plane_geo(*geo, dx, dy, dz, ox, oy, oz), col)
+                g = fns.plane_geo(*geo, dx, dy, dz, ox, oy, oz)
+                return fused_accumulate(st, g, col,
+                                        fns.plane_unit_n(*geo[3:6]))
 
             if not cull:
                 return heavy(state)
@@ -1665,7 +1683,7 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
                     col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k],
                            pl_ref[P.P_COLB, k])
                     return shade_accumulate(c, t_eff, col, (hx, hy, hz),
-                                            (nx, ny, nz))
+                                            fns.plane_unit_n(*geo[3:6]))
 
                 if not cull:
                     return heavy(carry)
