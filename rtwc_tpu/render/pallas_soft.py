@@ -46,7 +46,7 @@ from rtwc_tpu.camera import Camera
 from rtwc_tpu.config import RenderConfig
 from rtwc_tpu.render.reference import Framebuffer, _FLT_EPSILON
 from rtwc_tpu.render import pack as P
-from rtwc_tpu.render.pallas_kernel import _best_bw, _pow_int, _round_up
+from rtwc_tpu.render.pallas_kernel import _pow_int, _round_up
 
 # Output plane indices. Planes 10-13 exist only when config.shadows is on:
 # the soft light visibility at the blended hit point and its saved value-path

@@ -303,8 +303,9 @@ def test_two_level_culling_is_conservative():
                                        rtol=1e-5, atol=1e-3)
 
 
-@pytest.mark.parametrize("shadows", [False, True])
-def test_fused_mse_loss_matches_generic(shadows):
+@pytest.mark.parametrize("shadows,cull", [(False, True), (True, True),
+                                          (True, False)])
+def test_fused_mse_loss_matches_generic(shadows, cull):
     """render_soft_mse_loss (cotangents derived in-kernel, no HBM
     cotangent stack) computes the same loss AND the same scene/camera
     gradients as the generic render + jnp MSE."""
@@ -322,7 +323,8 @@ def test_fused_mse_loss_matches_generic(shadows):
         return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
 
     def loss_fused(scene, cam):
-        return render_soft_mse_loss(scene, cam, target, cfg, tau=TAU)
+        return render_soft_mse_loss(scene, cam, target, cfg, tau=TAU,
+                                    cull=cull, bwd_cull=cull)
 
     lg, gg = jax.value_and_grad(loss_generic, argnums=(0, 1))(scene, cam)
     lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(scene, cam)
