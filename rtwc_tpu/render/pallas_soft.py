@@ -9,6 +9,18 @@ kernel (flash-attention-style running (max, sum, weighted accumulators)),
 so per-object quantities live only in VPU registers / VMEM and the HBM
 traffic is exactly the framebuffer planes.
 
+Two train paths share the machinery:
+  - the GENERIC custom_vjp (any loss): forward kernel writes the plane
+    stack + softmax statistics, a separate backward kernel consumes the
+    saved planes and the caller's cotangents (design below);
+  - the ONE-PASS fused MSE path (_soft_mse_fused_body, the bench
+    headline): for loss = mean(((rgb-target)/255)^2) the cotangents are
+    derivable the moment a tile's forward finishes, so forward render,
+    loss, and the full backward run per tile in a SINGLE kernel with
+    everything register/VMEM-resident - only the loss scalar and the
+    ~10 KB gradient tables touch HBM. Gradients are computed at
+    loss-cotangent 1 and scaled in the vjp rule (exactly linear).
+
 Backward design (custom_vjp):
   - the forward kernel additionally writes its softmax statistics
     (running max m, normalizer s) per ray: 10 output planes total;
