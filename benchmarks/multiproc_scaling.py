@@ -118,7 +118,11 @@ def main(argv=None) -> int:
         print(json.dumps({"ok": False, "rcs": rcs}))
         return 1
     fields = [dict(kv.split("=") for kv in ln.split()[2:]) for ln in lines]
-    losses = {f["loss0"] for f in fields} | {f["lossN"] for f in fields}
+    # Agreement is per-field: every worker must report the SAME loss0 and
+    # the SAME lossN. (A combined set-size check would misread the
+    # loss0 == lossN case - a converged/degenerate run - as disagreement.)
+    agree = (len({f["loss0"] for f in fields}) == 1
+             and len({f["lossN"] for f in fields}) == 1)
     record = {
         "kind": "multiprocess_topology_proof",
         "config": {"width": args.width, "height": args.height,
@@ -128,7 +132,7 @@ def main(argv=None) -> int:
         "devices_per_process": 2,
         "n_devices_global": int(fields[0]["n_global"]),
         "ms_per_step": [float(f["ms_per_step"]) for f in fields],
-        "loss_agreement_bit_identical": len(losses) == 2,
+        "loss_agreement_bit_identical": agree,
         "simulated": True,
         "note": "virtual CPU devices across 2 OS processes; proves the "
                 "jax.distributed mesh + cross-process pmean in the sharded "

@@ -123,6 +123,7 @@ def make_sharded_train_step(
     loss_scale: float = 1.0 / 255.0,
     backend: str = "jnp",
     animate: bool = False,
+    interpret: bool | None = None,
 ) -> Callable:
     """Build the jitted multi-chip inverse-rendering train step
     (BASELINE configs 4-5; the train_step analogue of Engine3D::Run).
@@ -141,6 +142,11 @@ def make_sharded_train_step(
     "animated scene" in the sharded train loop. The tick is replicated
     (objects are tiny) and differentiable, so gradients flow through it to
     the base scene parameters.
+
+    interpret forces the pallas backend's kernel mode: None (default)
+    auto-selects per jax.default_backend(); False forces real Mosaic
+    lowering - needed when AOT-compiling for an abstract TPU topology
+    (scripts/overlap_check.py) where no executable backend exists.
     """
     import optax
 
@@ -183,9 +189,11 @@ def make_sharded_train_step(
                 # pinned by tests/test_pallas_soft.py).
                 return soft_band_mse_loss(sph, pl_, cam, row0, target_band,
                                           config=config, tau=tau,
-                                          band_h=rows_per)
+                                          band_h=rows_per,
+                                          interpret=interpret)
             out = soft_band_packed(sph, pl_, cam, row0, config=config,
-                                   tau=tau, band_h=rows_per)
+                                   tau=tau, band_h=rows_per,
+                                   interpret=interpret)
             rgb = jnp.moveaxis(out[SO_R: SO_B + 1], 0, -1)
         else:
             # jnp renderer: sub-band the rows so the [r, W, n_obj, 3]
