@@ -231,8 +231,10 @@ def build_lists_loop(cfg: RenderConfig, K: int, tau: float = TAU):
             cam = P.pack_camera(camera)
             cam = cam.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
             cam = cam.at[0, C_NPL].set(counts[1].astype(jnp.float32))
-            lists = _sphere_tile_lists(sph, cam, cfg, TAU, bh, bw, grid)
-            shl = _shadow_tile_lists(sph, cam, cfg, bh, bw, grid)
+            lists, t_hi = _sphere_tile_lists(sph, cam, cfg, TAU, bh, bw,
+                                             grid)
+            shl = _shadow_tile_lists(sph, pl_, cam, cfg, TAU, bh, bw, grid,
+                                     view_aux=t_hi)
             return acc + jnp.sum(lists) + jnp.sum(shl)
 
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
@@ -321,14 +323,26 @@ def main() -> None:
 
     # Clamp-correction cache demand (per-tile culled-in object counts) vs
     # the fused kernel's slot budget: the fallback re-walk fires only on
-    # tiles whose count exceeds the budget (VERDICT r4 weak #3).
-    cnt_hd, _, slots_hd = soft_cache_stats(scene, camera, cfg_sh, tau=TAU)
-    cnt_4k, _, slots_4k = soft_cache_stats(scene_4k, camera, cfg_4k, tau=TAU)
+    # tiles whose count exceeds the budget (VERDICT r4 weak #3). The same
+    # diagnostics feed the LIST-AWARE floor model: the minimum time the
+    # current algorithm needs on this scene at the calibrated peak, i.e.
+    # kernel implementation efficiency with culling priced at true cost.
+    from rtwc_tpu.render.pallas_soft import soft_tile_diagnostics
+
     import numpy as _np
-    cnt_hd = _np.asarray(cnt_hd)
-    cnt_4k = _np.asarray(cnt_4k)
+    diag_hd = soft_tile_diagnostics(scene, camera, cfg_sh, tau=TAU)
+    diag_4k = soft_tile_diagnostics(scene_4k, camera, cfg_4k, tau=TAU)
+    from rtwc_tpu.render.pallas_soft import _CACHE_SLOT_CAP as _CAP
+    slots_hd = max(2, min(_CAP, (5 * 2**20) // (3 * diag_hd["bh"] * diag_hd["bw"] * 4)))
+    slots_4k = max(2, min(_CAP, (5 * 2**20) // (3 * diag_4k["bh"] * diag_4k["bw"] * 4)))
+    cnt_hd = diag_hd["main_applied"]
+    cnt_4k = diag_4k["main_applied"]
     fb_hd = float((cnt_hd > slots_hd).mean() * 100.0)
     fb_4k = float((cnt_4k > slots_4k).mean() * 100.0)
+    floor_hd = roofline.culled_step_model(cfg_sh, TAU, diag_hd, fused=True)
+    floor_4k = roofline.culled_step_model(cfg_4k, TAU, diag_4k, fused=True)
+    sol_culled_hd = floor_hd["t_floor_s"] / dt_sh
+    sol_culled_4k = floor_4k["t_floor_s"] / dt_4k
 
     # Achieved camera-rotation gradient parity vs the jnp renderer at the
     # tpu_check scene scale (reported every round so regressions off the
@@ -412,6 +426,9 @@ def main() -> None:
         f"# speed of light, no culling credit: 1080p unculled fwd {sol_fwd*100:.0f}% / "
         f"bwd {sol_bwd*100:.0f}%; 4K unculled fwd {sol_fwd_4k*100:.0f}% / "
         f"bwd {sol_bwd_4k*100:.0f}% of the calibrated ceiling\n"
+        f"# list-aware floor (culled work priced at true cost): 1080p "
+        f"{floor_hd['t_floor_s']*1e3:.2f} ms -> {sol_culled_hd*100:.0f}% | "
+        f"4K {floor_4k['t_floor_s']*1e3:.2f} ms -> {sol_culled_4k*100:.0f}%\n"
         f"# grad_cam_rot parity vs jnp renderer: {grad_cam_rot_rel:.3e} "
         f"(tolerance 2e-2, intrinsic f32 floor ~1.2e-2)\n"
         f"# backend={jax.default_backend()} devices={jax.device_count()}",
@@ -439,6 +456,15 @@ def main() -> None:
         "sol_pct_nocull_bwd": round(sol_bwd * 100, 1),
         "sol_pct_nocull_fwd_4k": round(sol_fwd_4k * 100, 1),
         "sol_pct_nocull_bwd_4k": round(sol_bwd_4k * 100, 1),
+        "sol_pct_culled_floor": round(sol_culled_hd * 100, 1),
+        "sol_pct_culled_floor_4k": round(sol_culled_4k * 100, 1),
+        "culled_floor_ms": {"r1080": round(floor_hd["t_floor_s"] * 1e3, 3),
+                            "r4k": round(floor_4k["t_floor_s"] * 1e3, 3)},
+        "tile_work_profile": {
+            "r1080": {k: round(floor_hd[k], 2) for k in floor_hd
+                      if k.startswith("mean")},
+            "r4k": {k: round(floor_4k[k], 2) for k in floor_4k
+                    if k.startswith("mean")}},
         "cache_slots": {"r1080": slots_hd, "r4k": slots_4k},
         "cache_demand_max": {"r1080": int(cnt_hd.max()),
                              "r4k": int(cnt_4k.max())},

@@ -58,13 +58,28 @@ from rtwc_tpu.render.pallas_soft import render_frame_soft_pallas
 from rtwc_tpu.scene import add_plane, add_sphere, empty_scene
 
 
-def build(width: int, height: int):
-    cfg = RenderConfig(width=width, height=height, max_spheres=4, max_planes=2,
+def build(width: int, height: int, n_spheres: int = 3):
+    """Demo scene: 3 canonical spheres + a ground plane, extended to
+    n_spheres with a deterministic low-discrepancy spread inside the view
+    frustum (x in +-10, y in -3..5, z in 22..44) for the BASELINE
+    config-3 scale run (20 spheres, 1080p)."""
+    n = max(3, n_spheres)
+    cfg = RenderConfig(width=width, height=height, max_spheres=max(4, n),
+                       max_planes=2,
                        soft_miss_penalty=300.0, soft_mask_k=10.0)
     s = empty_scene(cfg.max_spheres, cfg.max_planes)
     s = add_sphere(s, 5.0, (0.0, 1.0, 22.0), (220.0, 50.0, 50.0), speed=1.0)
     s = add_sphere(s, 3.0, (-5.0, -1.0, 30.0), (50.0, 220.0, 50.0), speed=1.0)
     s = add_sphere(s, 4.0, (6.0, 2.0, 34.0), (50.0, 50.0, 220.0), speed=1.0)
+    phi = 0.6180339887498949  # golden-ratio sequence: even spread, no RNG
+    for k in range(3, n):
+        u, v, w = ((k * phi) % 1.0, (k * k * phi) % 1.0,
+                   (k * 0.7548776662466927) % 1.0)
+        s = add_sphere(
+            s, 1.5 + 2.0 * w,
+            ((u * 2.0 - 1.0) * 10.0, -3.0 + 8.0 * v, 22.0 + 22.0 * w),
+            (60.0 + 180.0 * u, 60.0 + 180.0 * v, 60.0 + 180.0 * w),
+            speed=1.0)
     s = add_plane(s, (0.0, -4.0, 30.0), (0.0, 1.0, 0.0), (120.0, 120.0, 120.0), 80.0, 80.0)
     return cfg, s
 
@@ -90,9 +105,14 @@ def main(argv=None) -> int:
                         "through estimator keeps it differentiable - the "
                         "head being differentiated is ANSIRGB.h:141-189)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--spheres", type=int, default=3,
+                   help="number of spheres (20 @ 1080p = BASELINE config 3)")
+    p.add_argument("--json-out", type=str, default=None,
+                   help="write a JSON artifact (per-stage losses, final "
+                        "errors, wall clock) to this path")
     args = p.parse_args(argv)
 
-    cfg, true_scene = build(args.width, args.height)
+    cfg, true_scene = build(args.width, args.height, args.spheres)
     e1, e2 = projection_elements(cfg)
     W, H = cfg.width, cfg.height
     sched = AnnealSchedule(n_stages=args.anneal, tau0=args.tau0, tau1=args.tau)
@@ -139,6 +159,7 @@ def main(argv=None) -> int:
         n_stages = len(fit_stages)
         per = [args.steps // n_stages + (1 if i < args.steps % n_stages else 0)
                for i in range(n_stages)]
+        stage_log = []
         for si, ((stage_tau, stage_cfg), n) in enumerate(zip(fit_stages, per)):
             w_sil = args.w_sil if si < n_stages - 1 else 0.0
             step = make_step(stage_tau, stage_cfg, w_sil)
@@ -146,7 +167,9 @@ def main(argv=None) -> int:
                 params, opt_state, loss = step(params, opt_state)
             print(f"  stage tau={stage_tau:7.3f}  loss {float(loss):.6f}",
                   flush=True)
-        return params, float(loss)
+            stage_log.append({"tau": float(stage_tau), "steps": n,
+                              "loss": float(loss)})
+        return params, float(loss), stage_log
 
     def project_px(cam, pts):
         """World points -> pixel coordinates under `cam` (camera.py raygen
@@ -183,8 +206,8 @@ def main(argv=None) -> int:
     # decay, convergence at these step budgets depends on float-ULP luck
     # (it flipped when kernel tile defaults changed the target's last
     # bits).
-    (fit_scene, _), _ = fit((bad_scene, true_cam), labels_geo,
-                            optax.cosine_decay_schedule(args.lr, args.steps))
+    (fit_scene, _), _, log_a = fit((bad_scene, true_cam), labels_geo,
+                                   optax.cosine_decay_schedule(args.lr, args.steps))
 
     tp = project_px(true_cam, np.asarray(true_scene.spheres.center)[idx])
     fp = project_px(true_cam, np.asarray(fit_scene.spheres.center)[idx])
@@ -210,9 +233,9 @@ def main(argv=None) -> int:
     # The pose subproblem is smooth at any tau; two stages suffice, and
     # most of the budget goes to polishing at the sharp temperature
     # (same cosine decay rationale as phase A).
-    (_, fit_cam), _ = fit((true_scene, bad_cam), labels_cam,
-                          optax.cosine_decay_schedule(5e-3, args.steps),
-                          fit_stages=stages[-2:])
+    (_, fit_cam), _, log_b = fit((true_scene, bad_cam), labels_cam,
+                                 optax.cosine_decay_schedule(5e-3, args.steps),
+                                 fit_stages=stages[-2:])
     rot_err = np.abs(np.asarray(fit_cam.rot) - np.asarray(true_cam.rot)).max()
     px_angle = 2.0 * e1 / W  # one pixel's angular size at image center
 
@@ -226,6 +249,32 @@ def main(argv=None) -> int:
     ok_b = bool(rot_err < px_angle)
     print(f"phase A {'OK (sub-pixel)' if ok_a else 'DID NOT CONVERGE'} | "
           f"phase B {'OK (sub-pixel)' if ok_b else 'DID NOT CONVERGE'}")
+    if args.json_out:
+        import json
+
+        rec = {
+            "kind": "inverse_render_fit",
+            "config": {"width": W, "height": H,
+                       "spheres": int(live.sum()), "planes": 1,
+                       "steps_per_phase": args.steps,
+                       "anneal_stages": args.anneal,
+                       "tau0": args.tau0, "tau": args.tau,
+                       "perturb_world_units": args.perturb,
+                       "quantized": bool(args.quantized)},
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "phase_a_stages": log_a,
+            "phase_b_stages": log_b,
+            "phase_a_reproj_px_before": np.round(reproj0, 3).tolist(),
+            "phase_a_reproj_px_after": np.round(reproj, 4).tolist(),
+            "phase_a_size_err_px": np.round(size_px, 4).tolist(),
+            "phase_b_rot_err_rad": float(rot_err),
+            "phase_b_rot_err_pixel_angles": float(rot_err / px_angle),
+            "wall_clock_s": round(dt, 1),
+            "sub_pixel": bool(ok_a and ok_b),
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(rec, f, indent=1)
     return 0 if (ok_a and ok_b) else 1
 
 

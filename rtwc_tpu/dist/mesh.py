@@ -7,7 +7,12 @@ same one, lifted across chips: shard the ray/tile dimension (image rows)
 over a 1-D mesh, replicate the tiny scene (<= a few hundred objects x
 32 B), and psum/pmean the scene-parameter gradients across chips during
 the backward pass. Collectives ride ICI within a slice and DCN across
-hosts; XLA overlaps the reduction with backward compute.
+hosts. The compiled schedule (OVERLAP_r05.json, scripts/overlap_check.py)
+fuses every gradient leaf into ONE step-level sync all-reduce right after
+the one-pass fwd+bwd kernel: with KB-scale gradient tables emitted
+atomically at kernel retirement there is nothing to overlap and ~us of
+ICI latency nothing worth hiding - negligible-by-design beats
+overlapped-by-scheduler.
 
 Everything mesh-related lives in this one module so the rest of the
 framework stays mesh-agnostic (SURVEY.md section 5 design note).
@@ -131,8 +136,9 @@ def make_sharded_train_step(
     Each device: renders its row band with the soft differentiable renderer,
     computes the local MSE against its shard of the target image, and
     back-propagates to the *replicated* scene + camera parameters; gradients
-    are pmean-reduced over the mesh inside the backward (XLA overlaps the
-    all-reduce with remaining backward compute). Returns
+    are pmean-reduced over the mesh in one fused step-level all-reduce
+    after the backward kernel (see module docstring + OVERLAP_r05.json:
+    KB payload, ~us on ICI, nothing to overlap by design). Returns
     step(params, opt_state, target, dt=0.0) -> (params, opt_state, loss).
     params = (scene, camera).
 

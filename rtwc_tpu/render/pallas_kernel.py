@@ -285,7 +285,7 @@ def pallas_render_packed(sph, plane, counts, cam_vec, *, config: RenderConfig,
     kernel = functools.partial(_ray_kernel_body, config, bh, bw)
     # Broad-phase per-tile sphere work lists (exact for hard hits; see
     # pallas_soft._sphere_tile_lists with hard=True).
-    lists = _sphere_tile_lists(sph, cam_vec, config, 0.0, bh, bw, grid,
+    lists, _ = _sphere_tile_lists(sph, cam_vec, config, 0.0, bh, bw, grid,
                                hard=True)
     out = pl.pallas_call(
         kernel,

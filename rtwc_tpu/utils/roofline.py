@@ -451,3 +451,158 @@ def utilization(model: dict, measured_s: float) -> dict:
         "hbm_util": model["t_hbm_bound_s"] / measured_s,
         "bound": "compute" if model["t_compute_bound_s"] > model["t_hbm_bound_s"] else "hbm",
     }
+
+
+@functools.lru_cache(maxsize=8)
+def culled_component_costs(config, tau: float) -> dict:
+    """Measured-weight VPU slot costs of the production kernels'
+    per-object components, for the LIST-AWARE floor model
+    (culled_step_model). Each entry prices one loop iteration of the
+    corresponding kernel piece per ray, using the same op-count ->
+    measured-slot-weight machinery as the uncull model."""
+    from rtwc_tpu.render.pallas_soft import _make_object_fns
+
+    fns = _make_object_fns(config, tau)
+    inv_tau = jnp.float32(1.0 / tau)
+    accumulate = _accumulate(inv_tau)
+    sph, pl_, d, o = _scalar_inputs(1, 1)
+    a_s, a_p = sph[0], pl_[0]
+    m0, s0 = jnp.float32(-10.0), jnp.float32(2.0)
+    t2c, dssc = jnp.float32(5.0), jnp.float32(1.0)
+    g8 = tuple(jnp.float32(0.1) for _ in range(8))
+    vis0 = jnp.float32(0.7)
+
+    def lb_s():
+        lb, t2, dss = fns.sphere_lb_ex(*a_s[:4], *d, *o)
+        return jnp.maximum(-lb * inv_tau - m0, jnp.float32(-16.0)), t2, dss
+
+    def lb_p():
+        lb, t, den, px, pz = fns.plane_lb_ex(*a_p[:8], *d, *o)
+        return jnp.maximum(-lb * inv_tau - m0, jnp.float32(-16.0))
+
+    def heavy_s():
+        g = fns.sphere_geo_post(*a_s[:3], t2c, dssc, *d, *o)
+        t_eff, t_clip, nx, ny, nz, hx, hy, hz = g
+        dt_, st_ = fns.shade_terms(hx, hy, hz, nx, ny, nz, *d)
+        (ar, br), (ag, bg_), (ab, bb) = fns.parts_from_terms(dt_, st_,
+                                                             *a_s[4:])
+        state = (m0, s0, (jnp.float32(0.0),) * 10)
+        return accumulate(state, t_eff,
+                          (t_clip, nx, ny, nz, ar, ag, ab, br, bg_, bb))
+
+    lrc = tuple(jnp.float32(v) for v in (0.1, 0.9, 0.2, 30.0, 1.0, 2.0, 3.0))
+
+    def lightray():
+        return fns.light_ray(o[0] + d[0] * jnp.float32(5.0),
+                             o[1] + d[1] * jnp.float32(5.0),
+                             o[2] + d[2] * jnp.float32(5.0))
+
+    def sh_pre_s():
+        min_arg, args = fns.shadow_sphere_pre(*a_s[:4], lrc)
+        return jnp.maximum(min_arg, jnp.float32(-1.0)), args
+
+    def sh_trans():
+        args = (jnp.float32(0.5),) * 4
+        v = vis0 * fns.shadow_transmittance(args)
+        return v, jnp.maximum(v, jnp.float32(1e-6))  # + dark-flag max
+
+    def corr_slot():
+        (ar, br), (ag, bg_), (ab, bb) = fns.parts_from_terms(
+            jnp.float32(0.5), jnp.float32(0.2), *a_s[4:])
+        w = jnp.exp(-t2c * inv_tau - m0) / s0
+        out = []
+        for a_c, b_c in ((ar, br), (ag, bg_), (ab, bb)):
+            val = a_c + vis0 * b_c
+            over = val >= 255.0
+            out.append(w * jnp.where(over, val - 255.0, 0.0))
+            out.append(w * jnp.where(over, b_c, 0.0))
+        return tuple(out)
+
+    def sh_args_s():
+        return jnp.maximum(fns.shadow_sphere_args(*a_s[:4], o[0], o[1], o[2]),
+                           jnp.float32(-1.0))
+
+    def vjp_sh_s():
+        f_j, fvjp = jax.vjp(fns.shadow_sphere_f, *a_s[:4], o[0], o[1], o[2])
+        return fvjp(jnp.float32(0.05) * vis0 / f_j)
+
+    def vjp_main_s():
+        S = jnp.float32(0.3)
+        args = (*a_s[:4], *a_s[4:], *d, *o)
+        vals, fvjp = jax.vjp(lambda *aa: fns.sphere_f(*aa, vis=vis0), *args)
+        t_eff, r_, g_, b_, t_clip, nx, ny, nz = vals
+        w = jnp.exp(-t_eff * inv_tau - m0) / s0
+        gdotv = (g8[0] * r_ + g8[1] * g_ + g8[2] * b_ + g8[3] * t_clip)
+        dlogit = w * (gdotv - S)
+        return fvjp((-dlogit * inv_tau, w * g8[0], w * g8[1], w * g8[2],
+                     w * g8[3], jnp.float32(0.0), jnp.float32(0.0),
+                     jnp.float32(0.0)))
+
+    return {
+        "lb_s": count_vpu_ops(lb_s),
+        "lb_p": count_vpu_ops(lb_p),
+        "heavy_s": count_vpu_ops(heavy_s),
+        "lightray": count_vpu_ops(lightray),
+        "sh_pre_s": count_vpu_ops(sh_pre_s),
+        "sh_trans": count_vpu_ops(sh_trans),
+        "corr_slot": count_vpu_ops(corr_slot),
+        "sh_args_s": count_vpu_ops(sh_args_s),
+        "vjp_sh_s": count_vpu_ops(vjp_sh_s),
+        "vjp_main_s": count_vpu_ops(vjp_main_s),
+        "raygen": _raygen_ops(config) ,
+        "raygen_vjp": _raygen_vjp_ops(config),
+    }
+
+
+def culled_step_model(config, tau: float, diag: dict,
+                      fused: bool = True) -> dict:
+    """LIST-AWARE floor for the culled shadowed fwd+bwd step: the minimum
+    execution time of the CURRENT ALGORITHM on THIS SCENE, priced from
+    the measured per-tile work profile (render/pallas_soft.py::
+    soft_tile_diagnostics - broad-phase list lengths = how many culling
+    bounds run; applied counts = how many heavy intersect/shade/vjp
+    bodies run) at the calibrated issue-rate peak. Dividing by the
+    measured step time gives the kernel IMPLEMENTATION efficiency with
+    culling priced at its true (post-cull) cost instead of either
+    extreme of the uncull model (which credits every skipped object as
+    executed work) or the no-credit model (which ignores that culling
+    itself costs bounds).
+
+    Approximations, all stated: planes priced at sphere component costs
+    (n_pl ~ 4 of hundreds); loop/cond bookkeeping and SMEM scalar reads
+    uncounted (floors the floor - honest direction); the backward's
+    main applied count reuses the forward's (its final-m gate admits a
+    subset of the forward's running-m gate)."""
+    import numpy as np
+
+    c = culled_component_costs(config, tau)
+    bh, bw = diag["bh"], diag["bw"]
+    n_pl = diag["n_planes"]
+    L = diag["list_len"].astype(np.float64)
+    A = diag["main_applied"].astype(np.float64)
+    SL = diag["shadow_list_len"].astype(np.float64)
+    SA = diag["shadow_applied"].astype(np.float64)
+
+    per_ray_const_fwd = (c["raygen"] + c["lightray"] + 40.0)  # blend+outputs
+    per_ray_const_bwd = (c["raygen_vjp"] + 60.0)  # S, cotangent setup
+    fwd = (per_ray_const_fwd
+           + (L + n_pl) * c["lb_s"]
+           + A * (c["heavy_s"] + c["corr_slot"])
+           + (SL + n_pl) * c["sh_pre_s"]
+           + SA * c["sh_trans"])
+    bwd = (per_ray_const_bwd
+           + (L + n_pl) * c["lb_s"]
+           + A * c["vjp_main_s"]
+           + (SL + n_pl) * c["sh_args_s"]
+           + SA * c["vjp_sh_s"])
+    extra = 25.0 if fused else 0.0  # in-kernel loss + MSE cotangents
+    ops = float(np.sum((fwd + bwd + extra) * bh * bw))
+    return {
+        "ops_per_frame": ops,
+        "t_floor_s": ops / VPU_SLOTS_PER_S,
+        "components": {k: round(float(v), 1) for k, v in c.items()},
+        "mean_list_len": float(L.mean()),
+        "mean_applied": float(A.mean()),
+        "mean_shadow_list_len": float(SL.mean()),
+        "mean_shadow_applied": float(SA.mean()),
+    }

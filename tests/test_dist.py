@@ -235,3 +235,37 @@ def test_sharded_grads_match_single_device():
         np.asarray(g_single.spheres.center),
         rtol=5e-2, atol=2e-6,  # f32, different XLA programs + pmean order
     )
+
+
+def test_gradient_allreduce_is_single_fused_collective():
+    """Schedule evidence for the BASELINE overlap north star (see
+    scripts/overlap_check.py and OVERLAP_r05.json for the real v5e-8
+    AOT schedule): the sharded train step's gradient reduction compiles
+    to exactly ONE step-level cross-device all-reduce that carries every
+    gradient leaf of the (scene, camera) pytree at once - not one
+    collective per leaf, and with nothing left outside the collective.
+    With the one-pass fused kernel all leaves materialize atomically at
+    kernel end, so a single fused KB-scale collective (us on ICI) is the
+    optimal schedule; this test pins that structure on the 8-virtual-
+    device mesh so a regression to per-leaf collectives is caught."""
+    cfg = RenderConfig(width=256, height=64, max_spheres=8, max_planes=2,
+                       shadows=True, soft_miss_penalty=300.0,
+                       soft_mask_k=10.0)
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(cfg, mesh, tau=0.5, backend="pallas")
+    scene = default_scene(cfg)
+    params = (scene, default_camera())
+    opt_state = step.init(params)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    txt = jax.jit(step).lower(params, opt_state, target).compile().as_text()
+    n_sync = txt.count(" all-reduce(")
+    n_async = txt.count(" all-reduce-start(")
+    assert n_sync + n_async == 1, (
+        f"expected ONE fused gradient all-reduce, found {n_sync} sync + "
+        f"{n_async} async")
+    # The collective must carry the full gradient pytree: count its f32
+    # operand leaves (scene tables + camera pos/rot + loss = >= 10).
+    line = next(l for l in txt.splitlines()
+                if " all-reduce(" in l or " all-reduce-start(" in l)
+    head = line.rsplit(" all-reduce", 1)[0]   # the result-shape tuple
+    assert head.count("f32[") >= 10, line[:200]

@@ -135,7 +135,14 @@ def test_shadow_darkens():
     sh = render_frame_soft_pallas(scene, cam, CFG_SH, tau=TAU)
     dark = np.asarray(jnp.sum(lit.rgb - sh.rgb, axis=-1))
     assert dark.max() > 20.0, "no pixel lost direct light under the occluder"
-    assert dark.min() > -1e-3, "shadows must only remove light"
+    # Monotonicity holds exactly pre-rounding (vis <= 1 per object), but
+    # lit and sh run DIFFERENT kernels (plain blend of clamped values vs
+    # A-blend + vis*B-blend - clamp correction), so fully-lit pixels can
+    # disagree by a few ULPs of the pre-clamp shading magnitude (B ~ 2e3
+    # on specular highlights -> ~1e-3 in the 0..255 domain; measured
+    # r5: lit 244.10936 vs sh 244.11020 where jnp gives 244.11024 for
+    # BOTH - the sh path is the closer one). Bound the noise, not zero.
+    assert dark.min() > -5e-3, "shadows must only remove light"
 
 
 def test_shadow_grads_match_jnp():
@@ -198,18 +205,25 @@ def test_shadow_forward_saturating_clamp_fallback():
 
 def test_shadow_forward_cache_overflow_rewalk():
     """More culled-in objects in one tile than the VMEM object cache holds
-    (max_cache <= 24): the kernel must take the exact re-walk fallback and
-    still match the jnp renderer."""
+    (max_cache <= _CACHE_SLOT_CAP = 32 slots): the kernel must take the
+    exact re-walk fallback and still match the jnp renderer. The
+    soft_cache_stats assertion proves the overflow actually happens -
+    if the cache grows past the demand, this test must be made denser."""
+    from rtwc_tpu.render.pallas_soft import soft_cache_stats
+
     rng = np.random.default_rng(3)
-    s = empty_scene(32, 2)
-    for _ in range(30):  # all in frame, overlapping -> no tile culls them
+    s = empty_scene(48, 2)
+    for _ in range(40):  # all in frame, overlapping -> no tile culls them
         s = add_sphere(s, float(rng.uniform(2.0, 4.0)),
                        (float(rng.uniform(-4, 4)), float(rng.uniform(-2, 2)),
                         float(rng.uniform(18, 30))),
                        tuple(float(c) for c in rng.uniform(30, 220, 3)),
                        speed=1.0)
-    cfg = CFG_SH.replace(max_spheres=32)
+    cfg = CFG_SH.replace(max_spheres=48)
     cam = default_camera()
+    counts, fwd_slots, _ = soft_cache_stats(s, cam, cfg, tau=TAU)
+    assert int(np.max(np.asarray(counts))) > fwd_slots, (
+        "scene no longer overflows the cache; densify it")
     fb_ref = render_frame_soft(s, cam, cfg, tau=TAU)
     fb_pal = render_frame_soft_pallas(s, cam, cfg, tau=TAU)
     np.testing.assert_allclose(np.asarray(fb_pal.rgb), np.asarray(fb_ref.rgb),
@@ -295,9 +309,18 @@ def test_two_level_culling_is_conservative():
             cfg = CFG.replace(shadows=shadows, max_spheres=24)
             fb_c = render_frame_soft_pallas(scene, cam, cfg, tau=TAU, cull=True)
             fb_n = render_frame_soft_pallas(scene, cam, cfg, tau=TAU, cull=False)
+            # atol 1e-2: since r5 the culled path reuses the bound's solve
+            # (sphere_f_post) while the no-cull baseline runs sphere_f -
+            # same expressions, but XLA schedules/fuses the two traces
+            # differently, and at softmin silhouette-competition pixels
+            # ULP-level t_eff differences amplify to ~4e-3 in rgb
+            # (measured: 2/9216 px, rel 3e-5). A genuinely NON-conservative
+            # exclusion would show as O(1) rgb error at the affected
+            # pixels (a softmin competitor with weight above the exp(-16)
+            # floor vanishing entirely), which this still catches.
             np.testing.assert_allclose(np.asarray(fb_c.rgb),
                                        np.asarray(fb_n.rgb),
-                                       rtol=0, atol=2e-3)
+                                       rtol=0, atol=1e-2)
             np.testing.assert_allclose(np.asarray(fb_c.depth),
                                        np.asarray(fb_n.depth),
                                        rtol=1e-5, atol=1e-3)
@@ -348,3 +371,51 @@ def test_fused_mse_loss_matches_generic(shadows, cull):
     want = -2.0 / (255.0 ** 2 * target.size) * (fb.rgb - target)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(want),
                                rtol=1e-4, atol=1e-12)
+
+
+def test_shadow_early_out_full_darkness():
+    """All-dark early-out (_shadow_vis_sweep): a huge occluder slab
+    between the light and the whole scene drives every ray's vis to the
+    transmittance floor, activating the early-out (remaining occluders
+    skipped). Value must stay within the documented _VIS_EARLY_OUT bound
+    of the jnp renderer, and gradients must stay finite."""
+    s = _scene()
+    # Slab above the scene, under the light (light_pos y=50): occludes
+    # every shadow ray of every pixel.
+    s = add_plane(s, (0.0, 20.0, 28.0), (0.0, 1.0, 0.0),
+                  (90.0, 90.0, 90.0), 500.0, 500.0)
+    # A few extra occluder spheres BELOW the slab so the sphere shadow
+    # list is non-trivial after darkness is reached.
+    s = add_sphere(s, 2.0, (-2.0, 8.0, 24.0), (40.0, 40.0, 200.0), speed=1.0)
+    cfg = CFG_SH.replace(max_planes=4)
+    cam = default_camera()
+    fb_ref = render_frame_soft(s, cam, cfg, tau=TAU)
+    fb_pal = render_frame_soft_pallas(s, cam, cfg, tau=TAU)
+    # Everything hit by geometry must have lost its direct light.
+    np.testing.assert_allclose(np.asarray(fb_pal.rgb), np.asarray(fb_ref.rgb),
+                               atol=2e-2, rtol=1e-4)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def loss(params):
+        fb = render_frame_soft_pallas(params[0], params[1], cfg, tau=TAU)
+        return jnp.mean(((fb.rgb - target) / 255.0) ** 2)
+
+    g = jax.grad(loss)((s, cam))
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_soft_cache_stats_sane():
+    """Per-tile cache-demand diagnostic: counts bounded by the live
+    object count, positive where geometry is visible."""
+    from rtwc_tpu.render.pallas_soft import soft_cache_stats
+
+    scene, cam = _scene_shadowed(), default_camera()
+    counts, fwd_slots, fused_slots = soft_cache_stats(scene, cam, CFG_SH,
+                                                      tau=TAU)
+    counts = np.asarray(counts)
+    n_live = int(np.asarray(scene.spheres.active).sum()
+                 + np.asarray(scene.planes.active).sum())
+    assert counts.max() <= n_live
+    assert counts.max() >= 1          # something renders
+    assert 2 <= fused_slots <= fwd_slots <= 32
