@@ -1013,8 +1013,17 @@ def _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref, shlst_ref, n_pl, lr,
     carry = (jnp.ones((bh, bw), jnp.float32), jnp.zeros((), jnp.bool_),
              jnp.zeros((), jnp.int32))
     n_sh = shlst_ref[0, 0, 0]
-    carry = jax.lax.fori_loop(0, n_sh, sphere_step, carry)
-    vis, _, napp = jax.lax.fori_loop(0, n_pl, plane_step, carry)
+    # PLANES FIRST (the transmittance product commutes): the few plane
+    # occluders are the likely full blockers (a roof/slab), so running
+    # them first lets the all-dark flag skip the whole sphere list.
+    # Measured honestly (benchmarks/earlyout_ablation.py): the gain is
+    # bounded - ~1.03x forward on an adversarial fully-dark cluster
+    # scene, parity-neutral and free on lit scenes - because the broad
+    # phase + per-ray gates already remove most of what darkness would
+    # skip, and the backward (exact gating, no early-out) dominates
+    # dark-scene cost.
+    carry = jax.lax.fori_loop(0, n_pl, plane_step, carry)
+    vis, _, napp = jax.lax.fori_loop(0, n_sh, sphere_step, carry)
     if count_applied:
         return vis, napp
     return vis
@@ -1457,6 +1466,11 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     py_b = oy + dy * D
     pz_b = oz + dz * D
     rel_floor = -16.0 / ks  # block < ~1e-7 below this constraint margin
+    # Hoisted light ray for the relevance gates (shadow_*_pre computes
+    # the identical min-constraint value as shadow_*_args, one light-ray
+    # solve per tile instead of per occluder); the heavy branches still
+    # replay shadow_*_f under jax.vjp - the solve must be on the tape.
+    lr_b = fns.light_ray(px_b, py_b, pz_b)
 
     n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
     sph_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NS), 1)
@@ -1470,7 +1484,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         k = shlst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
-        rel = jnp.max(fns.shadow_sphere_args(*geo, px_b, py_b, pz_b)) > rel_floor
+        rel = jnp.max(fns.shadow_sphere_pre(*geo, lr_b)[0]) > rel_floor
 
         def heavy(c):
             ctx, cty, ctz, dsph, dpl = c
@@ -1491,7 +1505,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
-        rel = jnp.max(fns.shadow_plane_args(*geo, px_b, py_b, pz_b)) > rel_floor
+        rel = jnp.max(fns.shadow_plane_pre(*geo, lr_b)[0]) > rel_floor
 
         def heavy(c):
             ctx, cty, ctz, dsph, dpl = c
@@ -2066,7 +2080,8 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
             k = shlst_ref[0, 0, 1 + jj]
             geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                    sph_ref[P.S_R, k])
-            rel = jnp.max(fns.shadow_sphere_args(*geo, px_b, py_b, pz_b)) > rel_floor
+            # hoisted-light-ray gate (identical value to shadow_sphere_args)
+            rel = jnp.max(fns.shadow_sphere_pre(*geo, lr)[0]) > rel_floor
 
             def heavy(c):
                 ctx, cty, ctz, dsph, dpl = c
@@ -2088,7 +2103,7 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
             geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                    pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                    pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
-            rel = jnp.max(fns.shadow_plane_args(*geo, px_b, py_b, pz_b)) > rel_floor
+            rel = jnp.max(fns.shadow_plane_pre(*geo, lr)[0]) > rel_floor
 
             def heavy(c):
                 ctx, cty, ctz, dsph, dpl = c

@@ -590,10 +590,10 @@ def culled_step_model(config, tau: float, diag: dict,
            + A * (c["heavy_s"] + c["corr_slot"])
            + (SL + n_pl) * c["sh_pre_s"]
            + SA * c["sh_trans"])
-    bwd = (per_ray_const_bwd
+    bwd = (per_ray_const_bwd + c["lightray"]
            + (L + n_pl) * c["lb_s"]
            + A * c["vjp_main_s"]
-           + (SL + n_pl) * c["sh_args_s"]
+           + (SL + n_pl) * c["sh_pre_s"]   # r5: hoisted-light-ray gates
            + SA * c["vjp_sh_s"])
     extra = 25.0 if fused else 0.0  # in-kernel loss + MSE cotangents
     ops = float(np.sum((fwd + bwd + extra) * bh * bw))
