@@ -343,6 +343,22 @@ def main() -> None:
     floor_4k = roofline.culled_step_model(cfg_4k, TAU, diag_4k, fused=True)
     sol_culled_hd = floor_hd["t_floor_s"] / dt_sh
     sol_culled_4k = floor_4k["t_floor_s"] / dt_4k
+    # Empirical fixed cost: the same train step on an EMPTY scene is the
+    # per-ray overhead every step pays regardless of objects (raygen +
+    # raygen-vjp, compensated camera reductions, loss/cotangent
+    # plumbing, tile bookkeeping; measured ~0.39 ns/ray + ~0.9 us/tile
+    # on v5e). Splitting it out gives the MARGINAL object-work
+    # efficiency: priced per-object floor work vs the measured
+    # (full - empty) time - the number that says how well the object
+    # sweeps themselves run.
+    from rtwc_tpu.scene import empty_scene
+
+    dt_empty = time_loop(cfg_sh, LOOP_K,
+                         params=(empty_scene(cfg_sh.max_spheres,
+                                             cfg_sh.max_planes), camera),
+                         target=target)
+    floor_obj_hd = floor_hd["t_floor_s"] - floor_hd["t_fixed_s"]
+    sol_marginal_hd = floor_obj_hd / max(dt_sh - dt_empty, 1e-9)
 
     # Achieved camera-rotation gradient parity vs the jnp renderer at the
     # tpu_check scene scale (reported every round so regressions off the
@@ -428,7 +444,9 @@ def main() -> None:
         f"bwd {sol_bwd_4k*100:.0f}% of the calibrated ceiling\n"
         f"# list-aware floor (culled work priced at true cost): 1080p "
         f"{floor_hd['t_floor_s']*1e3:.2f} ms -> {sol_culled_hd*100:.0f}% | "
-        f"4K {floor_4k['t_floor_s']*1e3:.2f} ms -> {sol_culled_4k*100:.0f}%\n"
+        f"4K {floor_4k['t_floor_s']*1e3:.2f} ms -> {sol_culled_4k*100:.0f}%; "
+        f"measured empty-scene fixed cost {dt_empty*1e3:.2f} ms -> marginal "
+        f"object-work efficiency {sol_marginal_hd*100:.0f}%\n"
         f"# grad_cam_rot parity vs jnp renderer: {grad_cam_rot_rel:.3e} "
         f"(tolerance 2e-2, intrinsic f32 floor ~1.2e-2)\n"
         f"# backend={jax.default_backend()} devices={jax.device_count()}",
@@ -458,6 +476,8 @@ def main() -> None:
         "sol_pct_nocull_bwd_4k": round(sol_bwd_4k * 100, 1),
         "sol_pct_culled_floor": round(sol_culled_hd * 100, 1),
         "sol_pct_culled_floor_4k": round(sol_culled_4k * 100, 1),
+        "empty_scene_fixed_ms": round(dt_empty * 1e3, 3),
+        "sol_pct_marginal_objects": round(sol_marginal_hd * 100, 1),
         "culled_floor_ms": {"r1080": round(floor_hd["t_floor_s"] * 1e3, 3),
                             "r4k": round(floor_4k["t_floor_s"] * 1e3, 3)},
         "tile_work_profile": {

@@ -2516,6 +2516,12 @@ def _pick_tiles(config: RenderConfig, bh: int | None, bw: int | None,
         # in-kernel compensated reductions (_twofloat_plane_sum) require
         # (8k, 128k) tiles.
         bw = min(_round_up(bw, 128), _round_up(config.width, 128))
+    if config.shadows:
+        # the shadowed kernels carry the object cache + ~30 live planes;
+        # bw = 256 tiles exceed the ~16 MB scoped VMEM (measured compile
+        # OOM at (160, 256) and (128, 256)); every measured-best shape
+        # is bw = 128 anyway (benchmarks/tune_soft.py)
+        bw = min(bw, 128)
     bh = min(_round_up(bh, 8), _round_up(H, 8))
     return bh, bw
 

@@ -597,9 +597,16 @@ def culled_step_model(config, tau: float, diag: dict,
            + SA * c["vjp_sh_s"])
     extra = 25.0 if fused else 0.0  # in-kernel loss + MSE cotangents
     ops = float(np.sum((fwd + bwd + extra) * bh * bw))
+    n_tiles = L.shape[0]
+    fixed = (per_ray_const_fwd + per_ray_const_bwd + c["lightray"]
+             + extra) * bh * bw * n_tiles
     return {
         "ops_per_frame": ops,
         "t_floor_s": ops / VPU_SLOTS_PER_S,
+        # the model's priced per-ray constants (object-independent part);
+        # bench.py replaces this with the MEASURED empty-scene time when
+        # isolating marginal object-work efficiency
+        "t_fixed_s": float(fixed) / VPU_SLOTS_PER_S,
         "components": {k: round(float(v), 1) for k, v in c.items()},
         "mean_list_len": float(L.mean()),
         "mean_applied": float(A.mean()),

@@ -419,3 +419,76 @@ def test_soft_cache_stats_sane():
     assert counts.max() <= n_live
     assert counts.max() >= 1          # something renders
     assert 2 <= fused_slots <= fwd_slots <= 32
+
+
+def test_depth_bounded_shadow_lists_conservative():
+    """The r5 depth-bounded shadow broad phase: an occluder BEYOND every
+    possible hit depth of a plane-covered tile (but inside the old
+    [0, far] hull) must be excluded from that tile's shadow list without
+    changing the image - and a genuinely relevant occluder must stay."""
+    from rtwc_tpu.render import pack as P_
+    from rtwc_tpu.render.pallas_soft import (
+        C_NPL, C_NSPH, _pick_tiles, _shadow_tile_lists, _sphere_tile_lists)
+    from rtwc_tpu.render.pallas_kernel import _round_up
+
+    cfg = CFG_SH.replace(far=100.0)
+    s = _scene()  # spheres at z 20-28, ground plane
+    # occluder far beyond the scene depth, between there and the light's
+    # lateral position: inside the old full-depth hull, outside the
+    # depth-bounded one for tiles whose hits are at z <= ~35
+    s = add_sphere(s, 2.0, (0.0, 20.0, 80.0), (90.0, 90.0, 90.0), speed=1.0)
+    cam = default_camera()
+
+    bh, bw = _pick_tiles(cfg, None, None)
+    Hp, Wp = _round_up(cfg.height, bh), _round_up(cfg.width, bw)
+    grid = (Hp // bh, Wp // bw)
+    sph, pl_, counts = P_.pack_scene(s)
+    cam_v = P_.pack_camera(cam)
+    cam_v = cam_v.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
+    cam_v = cam_v.at[0, C_NPL].set(counts[1].astype(jnp.float32))
+    _, aux = _sphere_tile_lists(sph, cam_v, cfg, TAU, bh, bw, grid)
+    shl = np.asarray(_shadow_tile_lists(sph, pl_, cam_v, cfg, TAU, bh, bw,
+                                        grid, view_aux=aux))
+    far_occ = 3  # index of the added far occluder
+    in_lists = [set(row[0, 1:1 + row[0, 0]].tolist()) for row in shl]
+    # the far occluder must be excluded from at least one tile (the old
+    # full-depth hull kept it everywhere the light cone crossed)
+    assert any(far_occ not in lst for lst in in_lists), (
+        "depth bound never excluded the far occluder")
+    # and the image must match the no-culling render
+    fb_c = render_frame_soft_pallas(s, cam, cfg, tau=TAU, cull=True)
+    fb_n = render_frame_soft_pallas(s, cam, cfg, tau=TAU, cull=False)
+    np.testing.assert_allclose(np.asarray(fb_c.rgb), np.asarray(fb_n.rgb),
+                               rtol=0, atol=1e-2)
+
+
+def test_plane_depth_bounds_certificates():
+    """_plane_depth_bounds unit cases: a tile looking at a covering
+    ground plane is certified covered with a finite depth bound; a tile
+    looking AWAY from every plane gets the strict-sky certificate."""
+    from rtwc_tpu.render import pack as P_
+    from rtwc_tpu.render.pallas_soft import (
+        C_NPL, C_NSPH, _pick_tiles, _plane_depth_bounds, _tile_cones)
+    from rtwc_tpu.render.pallas_kernel import _round_up
+
+    cfg = CFG_SH
+    s = _scene()
+    cam = default_camera()
+    bh, bw = _pick_tiles(cfg, None, None)
+    Hp, Wp = _round_up(cfg.height, bh), _round_up(cfg.width, bw)
+    grid = (Hp // bh, Wp // bw)
+    sph, pl_, counts = P_.pack_scene(s)
+    cam_v = P_.pack_camera(cam)
+    cam_v = cam_v.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
+    cam_v = cam_v.at[0, C_NPL].set(counts[1].astype(jnp.float32))
+    _, _, d_raw = _tile_cones(cam_v, cfg, bh, bw, grid)
+    t_hi, covered, sky = _plane_depth_bounds(pl_, cam_v, cfg, TAU, d_raw)
+    t_hi, covered, sky = (np.asarray(t_hi), np.asarray(covered),
+                          np.asarray(sky))
+    # bounds are sane: within [0, far], finite where covered
+    assert (t_hi >= 0.0).all() and (t_hi <= cfg.far).all()
+    if covered.any():
+        assert (t_hi[covered] < cfg.far).all()
+    # certificates never contradict: a covered tile (plane hit
+    # everywhere) cannot be strict-sky (every plane weightless)
+    assert not (covered & sky).any()
