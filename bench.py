@@ -19,18 +19,27 @@ run per tile in a single Pallas call with everything register/VMEM
 resident; only the loss scalar and the ~10 KB gradient tables touch HBM.
 
 Secondary entries (stderr + extra JSON fields):
-  - unshadowed fwd+bwd (the previous rounds' headline, for continuity);
+  - the GENERIC custom-VJP train path (forward kernel + jnp loss +
+    separate backward kernel - what every non-MSE loss runs), amortized
+    and single-dispatch, so it cannot rot unnoticed;
+  - single-dispatch decomposition: measured raw tunnel floor (trivial
+    jitted fn), amortized step, in-jit pack+work-list cost, residual;
+  - unshadowed fwd+bwd (the early rounds' headline, for continuity);
   - the pure-forward hard Pallas kernel (display path);
   - the jnp fwd+bwd band renderer (semantic source of truth);
   - BASELINE config-5 scale on one chip: 4K, 200 spheres, shadows, with
-    and without per-tile culling (VMEM/grid behavior at 10x the objects
-    and 4x the rays);
-  - a VPU roofline (utils/roofline.py): modeled element-ops per frame vs
-    the measured issue-rate peak of this chip. The model counts UNCULLED
-    work, so `vpu_sol_multiple` > 1 quantifies how far per-tile culling +
-    mul/add fusion push the kernel past the naive issue-everything speed
-    of light; `cull_speedup_fwd` isolates the culling share (measured, by
-    running the forward kernel with culling disabled).
+    and without per-tile culling, plus 4K no-credit speed-of-light;
+  - clamp-cache demand vs slots (fallback-tile percentage) at both
+    scales, and the achieved grad_cam_rot parity vs the jnp renderer;
+  - THREE calibrated efficiency lenses (utils/roofline.py):
+    (a) uncull model - culling credited as executed work
+        (`vpu_sol_multiple` > 1 = how far culling+fusion push past the
+        issue-everything ceiling; `cull_speedup_fwd` isolates culling);
+    (b) no-credit ceilings - unculled kernels vs modeled minimum time;
+    (c) list-aware floor (`culled_step_model`) - the culled kernels'
+        true work priced from measured per-tile profiles, split against
+        the MEASURED empty-scene fixed cost into end-to-end and
+        marginal object-work efficiency.
 """
 from __future__ import annotations
 
@@ -214,9 +223,8 @@ def build_lists_loop(cfg: RenderConfig, K: int, tau: float = TAU):
     cannot hoist it. Isolates the list-build share of the single-dispatch
     step time (VERDICT r4 next #3)."""
     from rtwc_tpu.render import pack as P
-    from rtwc_tpu.render.pallas_soft import (_pick_tiles, _sphere_tile_lists,
-                                             _shadow_tile_lists, C_NSPH,
-                                             C_NPL)
+    from rtwc_tpu.render.pallas_soft import (_pick_tiles, _build_tile_lists,
+                                             C_NSPH, C_NPL)
     from rtwc_tpu.render.pallas_kernel import _round_up
 
     bh, bw = _pick_tiles(cfg, None, None)
@@ -231,10 +239,8 @@ def build_lists_loop(cfg: RenderConfig, K: int, tau: float = TAU):
             cam = P.pack_camera(camera)
             cam = cam.at[0, C_NSPH].set(counts[0].astype(jnp.float32))
             cam = cam.at[0, C_NPL].set(counts[1].astype(jnp.float32))
-            lists, t_hi = _sphere_tile_lists(sph, cam, cfg, TAU, bh, bw,
-                                             grid)
-            shl = _shadow_tile_lists(sph, pl_, cam, cfg, TAU, bh, bw, grid,
-                                     view_aux=t_hi)
+            lists, shl = _build_tile_lists(sph, pl_, cam, cfg, TAU, bh, bw,
+                                           grid, True)
             return acc + jnp.sum(lists) + jnp.sum(shl)
 
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
