@@ -971,7 +971,7 @@ _CACHE_SLOT_CAP = 32
 
 
 def _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref, shlst_ref, n_pl, lr,
-                      count_applied: bool = False):
+                      count_applied: bool = False, gate_store=None):
     """Light-visibility product over the tile's shadow work list then the
     planes (shared by the shadowed forward and the one-pass fused MSE
     kernel). Two-level occluder culling: the sphere loop runs over the
@@ -992,8 +992,14 @@ def _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref, shlst_ref, n_pl, lr,
     count_applied=True additionally returns the number of occluders whose
     transmittance heavy branch actually RAN (the per-tile applied count,
     for the list-aware roofline diagnostics; production passes False and
-    pays nothing)."""
+    pays nothing).
+
+    gate_store(idx, int32) records each occluder's GEOMETRIC relevance
+    bit (pre-darkness; spheres at idx = k, planes at idx = NS + k) so a
+    backward pass can reuse the gates instead of re-running the
+    per-occluder pre solves (the predicates are identical)."""
     rel_floor = -16.0 / fns.shadow_ks
+    NS = sph_ref.shape[1]
 
     def sphere_step(jj, carry):
         vis, dark, napp = carry
@@ -1008,8 +1014,13 @@ def _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref, shlst_ref, n_pl, lr,
             return v, jnp.max(v) <= _VIS_EARLY_OUT, n + 1
 
         if not cull:
+            if gate_store is not None:
+                gate_store(k, jnp.int32(1))
             return heavy(carry)
-        rel = (jnp.max(min_arg) > rel_floor) & jnp.logical_not(dark)
+        rel_geo = jnp.max(min_arg) > rel_floor
+        if gate_store is not None:
+            gate_store(k, rel_geo.astype(jnp.int32))
+        rel = rel_geo & jnp.logical_not(dark)
         return jax.lax.cond(rel, heavy, lambda c: c, carry)
 
     def plane_step(k, carry):
@@ -1025,8 +1036,13 @@ def _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref, shlst_ref, n_pl, lr,
             return v, jnp.max(v) <= _VIS_EARLY_OUT, n + 1
 
         if not cull:
+            if gate_store is not None:
+                gate_store(NS + k, jnp.int32(1))
             return heavy(carry)
-        rel = (jnp.max(min_arg) > rel_floor) & jnp.logical_not(dark)
+        rel_geo = jnp.max(min_arg) > rel_floor
+        if gate_store is not None:
+            gate_store(NS + k, rel_geo.astype(jnp.int32))
+        rel = rel_geo & jnp.logical_not(dark)
         return jax.lax.cond(rel, heavy, lambda c: c, carry)
 
     carry = (jnp.ones((bh, bw), jnp.float32), jnp.zeros((), jnp.bool_),
@@ -1147,7 +1163,7 @@ def _clamp_blend_fallback(fns, cull, sph_ref, pl_ref, lst_ref, n_pl, m,
 
 def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                    cull: bool,
-                   cam_ref, sph_ref, pl_ref, lst_ref, out_ref):
+                   cam_ref, sph_ref, pl_ref, lst_ref, out_ref, gate_ref):
     fns = _make_object_fns(config, tau)
     sphere_f, plane_f = fns.sphere_f, fns.plane_f
     sphere_lb, plane_lb = fns.sphere_lb, fns.plane_lb
@@ -1206,7 +1222,10 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
 
         if not cull:
-            # no-culling-credit baseline: the single-solve full path
+            # no-culling-credit baseline: the single-solve full path;
+            # gates saved as all-relevant so a gate-reading backward
+            # stays correct under mixed cull flags
+            gate_ref[0, 0, k] = 1
             return accumulate(state, sphere_f(*geo, *col, dx, dy, dz,
                                               ox, oy, oz))
         lb, t2, dss = fns.sphere_lb_ex(*geo, dx, dy, dz, ox, oy, oz)
@@ -1217,15 +1236,18 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
             return accumulate(st, vals)
 
         rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        gate_ref[0, 0, k] = rel.astype(jnp.int32)
         return jax.lax.cond(rel, heavy, lambda st: st, state)
 
     def plane_body(k, state):
+        NS = sph_ref.shape[1]
         geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
         col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
 
         if not cull:
+            gate_ref[0, 0, NS + k] = 1
             return accumulate(state, plane_f(*geo, *col, dx, dy, dz,
                                              ox, oy, oz))
         lb, t, denom, pxp, pzp = fns.plane_lb_ex(*geo, dx, dy, dz, ox, oy, oz)
@@ -1236,6 +1258,7 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
             return accumulate(st, vals)
 
         rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        gate_ref[0, 0, NS + k] = rel.astype(jnp.int32)
         return jax.lax.cond(rel, heavy, lambda st: st, state)
 
     n_live = lst_ref[0, 0, 0]
@@ -1259,8 +1282,8 @@ def _soft_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
 def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                    cull: bool,
-                   cam_ref, sph_ref, pl_ref, lst_ref, sav_ref, g_ref,
-                   dsph_ref, dpl_ref, dcam_ref):
+                   cam_ref, sph_ref, pl_ref, lst_ref, gate_ref, sav_ref,
+                   g_ref, dsph_ref, dpl_ref, dcam_ref):
     fns = _make_object_fns(config, tau)
     sphere_f, plane_f = fns.sphere_f, fns.plane_f
     sphere_lb, plane_lb = fns.sphere_lb, fns.plane_lb
@@ -1329,16 +1352,16 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     pl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
 
     # Same two-level culling as the forward pass (the tile's broad-phase
-    # work list bounds the loop), with the in-kernel bound tested against
-    # the SAVED final max m - an exact relevance test: objects below the
-    # weight floor contribute sub-ULP cotangents, so their (expensive)
-    # in-kernel vjp replay is skipped entirely.
+    # work list bounds the loop), with the per-object gate READ from the
+    # forward kernel's saved gate table (r5: the forward just evaluated
+    # the same bound; its running-max decision is a SUPERSET of the exact
+    # final-max gate, so reuse is conservative and the lb re-solve per
+    # listed object disappears from the backward).
     def sphere_body(jj, carry):
         k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
-        lb = sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+        rel = gate_ref[0, 0, k] == 1
 
         def heavy(c):
             gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
@@ -1366,8 +1389,7 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
-        lb = plane_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+        rel = gate_ref[0, 0, NS + k] == 1
 
         def heavy(c):
             gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
@@ -1427,7 +1449,8 @@ def _soft_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                       cull: bool,
                       cam_ref, sph_ref, pl_ref, lst_ref, shlst_ref,
-                      sav_ref, g_ref, dsph_ref, dpl_ref, dcam_ref):
+                      gate_ref, sav_ref, g_ref, dsph_ref, dpl_ref,
+                      dcam_ref):
     """Shadowed backward. Three gradient paths compose:
 
       1. value path through vis:  dL/dvis = sum_c g_rgb_c * saved dvis_c
@@ -1484,12 +1507,10 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     px_b = ox + dx * D
     py_b = oy + dy * D
     pz_b = oz + dz * D
-    rel_floor = -16.0 / ks  # block < ~1e-7 below this constraint margin
-    # Hoisted light ray for the relevance gates (shadow_*_pre computes
-    # the identical min-constraint value as shadow_*_args, one light-ray
-    # solve per tile instead of per occluder); the heavy branches still
-    # replay shadow_*_f under jax.vjp - the solve must be on the tape.
-    lr_b = fns.light_ray(px_b, py_b, pz_b)
+    # Per-occluder relevance gates are READ from the forward kernel's
+    # saved gate table (identical predicates, r5); the heavy branches
+    # still replay shadow_*_f under jax.vjp - the solve must be on the
+    # tape there.
 
     n_pl = cam_ref[0, C_NPL].astype(jnp.int32)
     sph_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NS), 1)
@@ -1503,7 +1524,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         k = shlst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
-        rel = jnp.max(fns.shadow_sphere_pre(*geo, lr_b)[0]) > rel_floor
+        rel = gate_ref[0, 1, k] == 1
 
         def heavy(c):
             ctx, cty, ctz, dsph, dpl = c
@@ -1524,7 +1545,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
-        rel = jnp.max(fns.shadow_plane_pre(*geo, lr_b)[0]) > rel_floor
+        rel = gate_ref[0, 1, NS + k] == 1
 
         def heavy(c):
             ctx, cty, ctz, dsph, dpl = c
@@ -1575,8 +1596,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
-        lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+        rel = gate_ref[0, 0, k] == 1
 
         def heavy(c):
             gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
@@ -1603,8 +1623,7 @@ def _soft_sh_bwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
-        lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+        rel = gate_ref[0, 0, NS + k] == 1
 
         def heavy(c):
             gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
@@ -1694,10 +1713,10 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     4K/200)."""
     if stats:
         (cam_ref, sph_ref, pl_ref, lst_ref, shlst_ref,
-         out_ref, cnt_ref, cache_ref, ccol_ref) = refs
+         out_ref, gate_ref, cnt_ref, cache_ref, ccol_ref) = refs
     else:
         (cam_ref, sph_ref, pl_ref, lst_ref, shlst_ref,
-         out_ref, cache_ref, ccol_ref) = refs
+         out_ref, gate_ref, cache_ref, ccol_ref) = refs
     fns = _make_object_fns(config, tau)
     raygen = _make_raygen(config, bh, bw)
     i, j = pl.program_id(0), pl.program_id(1)
@@ -1751,6 +1770,8 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
 
         return m_new, s, acc, count + 1
 
+    NS_ = sph_ref.shape[1]
+
     def sphere_geo_body(jj, state):
         k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
@@ -1758,6 +1779,7 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         col = (sph_ref[P.S_COLR, k], sph_ref[P.S_COLG, k], sph_ref[P.S_COLB, k])
 
         if not cull:
+            gate_ref[0, 0, k] = 1
             g = fns.sphere_geo(*geo, dx, dy, dz, ox, oy, oz)
             return fused_accumulate(state, g, col, g[2:5])
         lb, t2, dss = fns.sphere_lb_ex(*geo, dx, dy, dz, ox, oy, oz)
@@ -1769,6 +1791,7 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
             return fused_accumulate(st, g, col, g[2:5])
 
         rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        gate_ref[0, 0, k] = rel.astype(jnp.int32)
         return jax.lax.cond(rel, heavy, lambda st: st, state)
 
     def plane_geo_body(k, state):
@@ -1778,6 +1801,7 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
         col = (pl_ref[P.P_COLR, k], pl_ref[P.P_COLG, k], pl_ref[P.P_COLB, k])
 
         if not cull:
+            gate_ref[0, 0, NS_ + k] = 1
             g = fns.plane_geo(*geo, dx, dy, dz, ox, oy, oz)
             return fused_accumulate(state, g, col,
                                     fns.plane_unit_n(*geo[3:6]))
@@ -1790,6 +1814,7 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
                                     fns.plane_unit_n(*geo[3:6]))
 
         rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+        gate_ref[0, 0, NS_ + k] = rel.astype(jnp.int32)
         return jax.lax.cond(rel, heavy, lambda st: st, state)
 
     state = (m, s, acc, count)
@@ -1806,14 +1831,20 @@ def _soft_sh_fwd_body(config: RenderConfig, tau: float, bh: int, bw: int,
     py_b = oy + dy * depth
     pz_b = oz + dz * depth
     lr = fns.light_ray(px_b, py_b, pz_b)
+
+    def _sh_gate_store(idx, v):
+        gate_ref[0, 1, idx] = v
+
     if stats:
         vis, sh_applied = _shadow_vis_sweep(fns, cull, bh, bw, sph_ref,
                                             pl_ref, shlst_ref, n_pl, lr,
-                                            count_applied=True)
+                                            count_applied=True,
+                                            gate_store=_sh_gate_store)
         cnt_ref[0, 0, 1] = sh_applied
     else:
         vis = _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref,
-                                shlst_ref, n_pl, lr)
+                                shlst_ref, n_pl, lr,
+                                gate_store=_sh_gate_store)
 
     # ---- color blend: A/B accumulators + clamp correction from the cache
     # when it held every culled-in object; exact re-walk on overflow.
@@ -1867,10 +1898,11 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
     wrapper divides by 3*H*W)."""
     if config.shadows:
         (cam_ref, sph_ref, pl_ref, lst_ref, shlst_ref, tgt_ref,
-         dsph_ref, dpl_ref, dcam_ref, loss_ref, cache_ref, ccol_ref) = refs
+         dsph_ref, dpl_ref, dcam_ref, loss_ref, cache_ref, ccol_ref,
+         gate_ref) = refs
     else:
         (cam_ref, sph_ref, pl_ref, lst_ref, tgt_ref,
-         dsph_ref, dpl_ref, dcam_ref, loss_ref) = refs
+         dsph_ref, dpl_ref, dcam_ref, loss_ref, gate_ref) = refs
     fns = _make_object_fns(config, tau)
     raygen = _make_raygen(config, bh, bw)
     i, j = pl.program_id(0), pl.program_id(1)
@@ -1957,6 +1989,9 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
                 return fused_accumulate(st, g, col, g[2:5])
 
             rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            # record the gate for the same-kernel backward (running-max
+            # decision: a SUPERSET of the exact final-max gate - safe)
+            gate_ref[0, k] = rel.astype(jnp.int32)
             return jax.lax.cond(rel, heavy, lambda st: st, state)
 
         def plane_geo_body(k, state):
@@ -1979,6 +2014,7 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
                                         fns.plane_unit_n(*geo[3:6]))
 
             rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            gate_ref[0, NS + k] = rel.astype(jnp.int32)
             return jax.lax.cond(rel, heavy, lambda st: st, state)
 
         state = (m, sN, acc, count)
@@ -1991,8 +2027,13 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
         py_b = oy + dy * depth
         pz_b = oz + dz * depth
         lr = fns.light_ray(px_b, py_b, pz_b)
+
+        def _sh_gate_store(idx, v):
+            gate_ref[1, idx] = v
+
         vis = _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref,
-                                shlst_ref, n_pl, lr)
+                                shlst_ref, n_pl, lr,
+                                gate_store=_sh_gate_store)
 
         rgb_dv = jax.lax.cond(
             count <= max_cache,
@@ -2047,6 +2088,7 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
                 return accumulate(st, vals)
 
             rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            gate_ref[0, k] = rel.astype(jnp.int32)
             return jax.lax.cond(rel, heavy, lambda st: st, state)
 
         def plane_body_f(k, state):
@@ -2068,6 +2110,7 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
                 return accumulate(st, vals)
 
             rel = jnp.max(-lb * inv_tau - state[0]) > _CULL_LOG_EPS
+            gate_ref[0, NS + k] = rel.astype(jnp.int32)
             return jax.lax.cond(rel, heavy, lambda st: st, state)
 
         state = (m, sN, acc)
@@ -2099,8 +2142,9 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
             k = shlst_ref[0, 0, 1 + jj]
             geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                    sph_ref[P.S_R, k])
-            # hoisted-light-ray gate (identical value to shadow_sphere_args)
-            rel = jnp.max(fns.shadow_sphere_pre(*geo, lr)[0]) > rel_floor
+            # gate recorded by the forward's shadow sweep (identical
+            # predicate): no per-occluder pre solve in the backward
+            rel = gate_ref[1, k] == 1
 
             def heavy(c):
                 ctx, cty, ctz, dsph, dpl = c
@@ -2122,7 +2166,7 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
             geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                    pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                    pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
-            rel = jnp.max(fns.shadow_plane_pre(*geo, lr)[0]) > rel_floor
+            rel = gate_ref[1, NS + k] == 1
 
             def heavy(c):
                 ctx, cty, ctz, dsph, dpl = c
@@ -2182,8 +2226,10 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
         k = lst_ref[0, 0, 1 + jj]
         geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
                sph_ref[P.S_R, k])
-        lb = fns.sphere_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+        # forward-recorded gate (running-max decision: superset of the
+        # exact final-max gate; extras carry sub-floor weights whose
+        # cotangents vanish) - no lb re-solve in the backward
+        rel = gate_ref[0, k] == 1
 
         def heavy(c):
             gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
@@ -2210,8 +2256,7 @@ def _soft_mse_fused_body(config: RenderConfig, tau: float, bh: int, bw: int,
         geo = (pl_ref[P.P_CX, k], pl_ref[P.P_CY, k], pl_ref[P.P_CZ, k],
                pl_ref[P.P_NX, k], pl_ref[P.P_NY, k], pl_ref[P.P_NZ, k],
                pl_ref[P.P_HW, k], pl_ref[P.P_HH, k])
-        lb = fns.plane_lb(*geo, dx, dy, dz, ox, oy, oz)
-        rel = jnp.max(-lb * inv_tau - m) > _CULL_LOG_EPS
+        rel = gate_ref[0, NS + k] == 1
 
         def heavy(c):
             gdx, gdy, gdz, gox, goy, goz, dsph, dpl = c
@@ -2319,15 +2364,26 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                             lambda i, j: (i * Tj + j, 0, 0),
                             memory_space=pltpu.SMEM)
 
+    def _gate_spec(n_objs):
+        return pl.BlockSpec((1, 2, n_objs),
+                            lambda i, j: (i * Tj + j, 0, 0),
+                            memory_space=pltpu.SMEM)
+
     def fwd_call(sph, pl_, cam):
         # fwd_cull=False disables the broad phase too (every active sphere
         # listed): the honest no-culling benchmark baseline.
+        # Returns (planes, gates): gates is the per-tile record of the
+        # in-kernel relevance decisions ([T, 2, NS+NP] int32; row 0 main
+        # sweep, row 1 shadow sweep), consumed by the backward kernel so
+        # it never re-solves the gating bounds (r5).
         lists, shl = _build_tile_lists(sph, pl_, cam, config, tau, bh, bw,
                                        grid, config.shadows,
                                        disable=not fwd_cull)
         ins = [cam, sph, pl_, lists]
         if config.shadows:
             ins.append(shl)
+        n_objs = sph.shape[1] + pl_.shape[1]
+        T = grid[0] * grid[1]
         return pl.pallas_call(
             fwd_kernel,
             grid=grid,
@@ -2336,17 +2392,25 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ] + [_list_spec(t) for t in ins[3:]],
-            out_specs=pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_out, Hp, Wp), jnp.float32),
+            out_specs=[
+                pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                _gate_spec(n_objs),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_out, Hp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((T, 2, n_objs), jnp.int32),
+            ],
             scratch_shapes=fwd_scratch,
             interpret=interpret,
         )(*ins)
 
-    def bwd_call(sph, pl_, cam, sav, g):
+    def bwd_call(sph, pl_, cam, sav, gates, g):
         kernel = functools.partial(bwd_body, config, tau, bh, bw, bwd_cull)
-        # Backward culling is exact (tested against the saved final m);
-        # bwd_cull=False exists only for the no-credit SOL measurement.
+        # Backward culling reuses the forward's recorded gates (running-
+        # max decisions: a superset of the exact final-max gate, so
+        # conservative); bwd_cull=False exists only for the no-credit SOL
+        # measurement.
         lists, shl = _build_tile_lists(sph, pl_, cam, config, tau, bh, bw,
                                        grid, config.shadows,
                                        disable=not bwd_cull)
@@ -2354,8 +2418,9 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
         if config.shadows:
             ins.append(shl)
         n_lists = len(ins) - 3
-        ins += [sav, g]
+        ins += [gates, sav, g]
         tail_specs = [
+            _gate_spec(gates.shape[2]),
             pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_out, bh, bw), lambda i, j: (0, i, j),
@@ -2441,7 +2506,12 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
                 scratch_shapes=(
                     [pltpu.VMEM((fused_cache, 3, bh, bw), jnp.float32),
                      pltpu.SMEM((fused_cache, 3), jnp.float32)]
-                    if config.shadows else []),
+                    if config.shadows else []) + [
+                    # forward-recorded culling gates, reused by the
+                    # same-kernel backward (rows: 0 = main sweep,
+                    # 1 = shadow sweep; cols: spheres then planes)
+                    pltpu.SMEM((2, sph.shape[1] + pl_.shape[1]),
+                               jnp.int32)],
                 interpret=interpret,
             )(*ins)
 
@@ -2455,7 +2525,7 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
         def soft_mse(sph, pl_, cam, tgt):
             # Un-differentiated call: ordinary forward + jnp loss, no
             # gradient work (the fused kernel only runs under jax.grad).
-            return loss_of_out(fwd_call(sph, pl_, cam), tgt)
+            return loss_of_out(fwd_call(sph, pl_, cam)[0], tgt)
 
         def mse_fwd(sph, pl_, cam, tgt):
             dsph1, dpl1, dcam2, loss2 = fused_call(sph, pl_, cam, tgt)
@@ -2475,7 +2545,7 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
             # ordinary forward. XLA dead-code-eliminates this whole branch
             # (including the pallas_call) when, as in every train loop,
             # the target is not differentiated.
-            sav = fwd_call(sph, pl_, cam)
+            sav = fwd_call(sph, pl_, cam)[0]
             gt = -g * 2.0 * inv_n / (255.0 * 255.0) * (
                 sav[SO_R:SO_B + 1, :Hv, :Wv] - tgt[:, :Hv, :Wv])
             dtgt = jnp.zeros_like(tgt).at[:, :Hv, :Wv].set(gt)
@@ -2486,17 +2556,17 @@ def _build_soft_packed(config: RenderConfig, tau: float, bh: int, bw: int,
 
     @jax.custom_vjp
     def soft_packed(sph, pl_, cam):
-        return fwd_call(sph, pl_, cam)
+        return fwd_call(sph, pl_, cam)[0]
 
     def soft_fwd(sph, pl_, cam):
-        out = fwd_call(sph, pl_, cam)
-        return out, (sph, pl_, cam, out)
+        out, gates = fwd_call(sph, pl_, cam)
+        return out, (sph, pl_, cam, out, gates)
 
     def soft_bwd(res, g):
-        sph, pl_, cam, sav = res
+        sph, pl_, cam, sav, gates = res
         # Cotangents on the m/s statistic planes are discarded: the
         # closed-form softmax VJP already accounts for the normalizer.
-        dsph, dpl, dcam2 = bwd_call(sph, pl_, cam, sav, g)
+        dsph, dpl, dcam2 = bwd_call(sph, pl_, cam, sav, gates, g)
         # Row 0 = Kahan sum, row 1 = residual compensation; their sum is
         # the best f32 estimate of the cross-tile total.
         dcam = (dcam2[0] + dcam2[1])[None, :]
@@ -2700,7 +2770,9 @@ def _build_cache_stats(config: RenderConfig, tau: float, bh: int, bw: int,
     def call(sph, pl_, cam):
         lists, shl = _build_tile_lists(sph, pl_, cam, config, tau, bh, bw,
                                        grid, True)
-        _, counts = pl.pallas_call(
+        n_objs = sph.shape[1] + pl_.shape[1]
+        T = grid[0] * grid[1]
+        _, _, counts = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
@@ -2708,12 +2780,15 @@ def _build_cache_stats(config: RenderConfig, tau: float, bh: int, bw: int,
             out_specs=[
                 pl.BlockSpec((N_PLANES_SH, bh, bw), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n_objs), lambda i, j: (i * Tj + j, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 2), lambda i, j: (i * Tj + j, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((N_PLANES_SH, Hp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((grid[0] * grid[1], 1, 2), jnp.int32),
+                jax.ShapeDtypeStruct((T, 2, n_objs), jnp.int32),
+                jax.ShapeDtypeStruct((T, 1, 2), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((max_cache, 3, bh, bw), jnp.float32),
                             pltpu.SMEM((max_cache, 3), jnp.float32)],
