@@ -456,6 +456,32 @@ def _make_object_fns(config: RenderConfig, tau: float):
                               jnp.minimum(t1, t2))
         return min_arg, args
 
+    def shadow_sphere_preA(scx, scy, scz, r, lr):
+        """Stage A of the split occluder gate: the quadratic WITHOUT the
+        sqrt. The disc constraint (scaled discriminant dss) alone kills
+        most listed-but-irrelevant occluders (the shadow ray passes wide
+        of the sphere), and it needs no root - the sqrt (the costliest
+        VPU op) only runs for occluders that survive stage A
+        (shadow_sphere_preB). Bit-identical composition with
+        shadow_sphere_pre."""
+        sdx, sdy, sdz, dist, sox, soy, soz = lr
+        ocx, ocy, ocz = sox - scx, soy - scy, soz - scz
+        b = 2.0 * (sdx * ocx + sdy * ocy + sdz * ocz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * c
+        scale = 1.0 / jnp.maximum(r, 1e-3)
+        dss = disc * scale * scale
+        return disc, dss, b, dist
+
+    def shadow_sphere_preB(disc, dss, b, dist):
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t1 = 0.5 * (-b + sq)
+        t2 = 0.5 * (-b - sq)
+        args = (dss, t1, t2, dist - t2)
+        min_arg = jnp.minimum(jnp.minimum(args[0], args[3]),
+                              jnp.minimum(t1, t2))
+        return min_arg, args
+
     def shadow_plane_pre(pcx, pcy, pcz, pnx, pny, pnz, hw, hh, lr):
         sdx, sdy, sdz, dist, sox, soy, soz = lr
         denom = sdx * pnx + sdy * pny + sdz * pnz
@@ -490,6 +516,8 @@ def _make_object_fns(config: RenderConfig, tau: float):
         shadow_plane_args=shadow_plane_args,
         light_ray=_light_ray,
         shadow_sphere_pre=shadow_sphere_pre,
+        shadow_sphere_preA=shadow_sphere_preA,
+        shadow_sphere_preB=shadow_sphere_preB,
         shadow_plane_pre=shadow_plane_pre,
         shadow_transmittance=shadow_transmittance,
         shadow_ks=ks,
@@ -1004,24 +1032,43 @@ def _shadow_vis_sweep(fns, cull, bh, bw, sph_ref, pl_ref, shlst_ref, n_pl, lr,
     def sphere_step(jj, carry):
         vis, dark, napp = carry
         k = shlst_ref[0, 0, 1 + jj]
-        min_arg, args = fns.shadow_sphere_pre(
-            sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
-            sph_ref[P.S_R, k], lr)
-
-        def heavy(c):
-            v, _, n = c
-            v = v * fns.shadow_transmittance(args)
-            return v, jnp.max(v) <= _VIS_EARLY_OUT, n + 1
+        geo = (sph_ref[P.S_CX, k], sph_ref[P.S_CY, k], sph_ref[P.S_CZ, k],
+               sph_ref[P.S_R, k])
 
         if not cull:
             if gate_store is not None:
                 gate_store(k, jnp.int32(1))
-            return heavy(carry)
-        rel_geo = jnp.max(min_arg) > rel_floor
-        if gate_store is not None:
-            gate_store(k, rel_geo.astype(jnp.int32))
-        rel = rel_geo & jnp.logical_not(dark)
-        return jax.lax.cond(rel, heavy, lambda c: c, carry)
+            _, args = fns.shadow_sphere_pre(*geo, lr)
+            v, _, n = carry
+            v = v * fns.shadow_transmittance(args)
+            return v, jnp.max(v) <= _VIS_EARLY_OUT, n + 1
+
+        # split gate: the sqrt-free stage A (disc constraint) kills most
+        # listed-but-irrelevant occluders; survivors run the root +
+        # remaining constraints in stage B (identical composition).
+        disc, dss, b, dist = fns.shadow_sphere_preA(*geo, lr)
+        relA = jnp.max(dss) > rel_floor
+
+        def stageB(c):
+            min_arg, args = fns.shadow_sphere_preB(disc, dss, b, dist)
+            rel_geo = jnp.max(min_arg) > rel_floor
+            if gate_store is not None:
+                gate_store(k, rel_geo.astype(jnp.int32))
+            rel = rel_geo & jnp.logical_not(dark)
+
+            def heavy(cc):
+                v, _, n = cc
+                v = v * fns.shadow_transmittance(args)
+                return v, jnp.max(v) <= _VIS_EARLY_OUT, n + 1
+
+            return jax.lax.cond(rel, heavy, lambda cc: cc, c)
+
+        def skipA(c):
+            if gate_store is not None:
+                gate_store(k, jnp.int32(0))
+            return c
+
+        return jax.lax.cond(relA, stageB, skipA, carry)
 
     def plane_step(k, carry):
         vis, dark, napp = carry
