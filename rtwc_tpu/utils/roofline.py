@@ -501,6 +501,14 @@ def culled_component_costs(config, tau: float) -> dict:
         min_arg, args = fns.shadow_sphere_pre(*a_s[:4], lrc)
         return jnp.maximum(min_arg, jnp.float32(-1.0)), args
 
+    def sh_preA_s():
+        disc, dss, b, dist = fns.shadow_sphere_preA(*a_s[:4], lrc)
+        return jnp.maximum(dss, jnp.float32(-1.0)), disc, b, dist
+
+    def sh_preB_s():
+        return fns.shadow_sphere_preB(jnp.float32(1.0), jnp.float32(0.5),
+                                      jnp.float32(-2.0), jnp.float32(30.0))
+
     def sh_trans():
         args = (jnp.float32(0.5),) * 4
         v = vis0 * fns.shadow_transmittance(args)
@@ -544,6 +552,8 @@ def culled_component_costs(config, tau: float) -> dict:
         "heavy_s": count_vpu_ops(heavy_s),
         "lightray": count_vpu_ops(lightray),
         "sh_pre_s": count_vpu_ops(sh_pre_s),
+        "sh_preA_s": count_vpu_ops(sh_preA_s),
+        "sh_preB_s": count_vpu_ops(sh_preB_s),
         "sh_trans": count_vpu_ops(sh_trans),
         "corr_slot": count_vpu_ops(corr_slot),
         "sh_args_s": count_vpu_ops(sh_args_s),
@@ -570,9 +580,11 @@ def culled_step_model(config, tau: float, diag: dict,
 
     Approximations, all stated: planes priced at sphere component costs
     (n_pl ~ 4 of hundreds); loop/cond bookkeeping and SMEM scalar reads
-    uncounted (floors the floor - honest direction); the backward's
-    main applied count reuses the forward's (its final-m gate admits a
-    subset of the forward's running-m gate)."""
+    uncounted; the split occluder gate's stage-B survivors are priced by
+    the APPLIED count (a lower bound on survivors); the backward pays no
+    gate costs at all since r5 (it reads the forward's recorded gate
+    bits). All floor-preserving in the honest direction (the floor can
+    only be BELOW the truly required time)."""
     import numpy as np
 
     c = culled_component_costs(config, tau)
@@ -588,12 +600,15 @@ def culled_step_model(config, tau: float, diag: dict,
     fwd = (per_ray_const_fwd
            + (L + n_pl) * c["lb_s"]
            + A * (c["heavy_s"] + c["corr_slot"])
-           + (SL + n_pl) * c["sh_pre_s"]
-           + SA * c["sh_trans"])
-    bwd = (per_ray_const_bwd + c["lightray"]
-           + (L + n_pl) * c["lb_s"]
+           # split occluder gate: sqrt-free stage A for every listed
+           # occluder; stage B + transmittance priced at the applied
+           # count (a lower bound on stage-B survivors)
+           + SL * c["sh_preA_s"] + n_pl * c["sh_pre_s"]
+           + SA * (c["sh_preB_s"] + c["sh_trans"]))
+    # r5 gate reuse: the backward reads the forward's recorded gate bits
+    # and pays NO per-object gate solves of its own
+    bwd = (per_ray_const_bwd
            + A * c["vjp_main_s"]
-           + (SL + n_pl) * c["sh_pre_s"]   # r5: hoisted-light-ray gates
            + SA * c["vjp_sh_s"])
     extra = 25.0 if fused else 0.0  # in-kernel loss + MSE cotangents
     ops = float(np.sum((fwd + bwd + extra) * bh * bw))
