@@ -613,7 +613,7 @@ def culled_step_model(config, tau: float, diag: dict,
     extra = 25.0 if fused else 0.0  # in-kernel loss + MSE cotangents
     ops = float(np.sum((fwd + bwd + extra) * bh * bw))
     n_tiles = L.shape[0]
-    fixed = (per_ray_const_fwd + per_ray_const_bwd + c["lightray"]
+    fixed = (per_ray_const_fwd + per_ray_const_bwd
              + extra) * bh * bw * n_tiles
     return {
         "ops_per_frame": ops,
